@@ -1,0 +1,159 @@
+"""arkworks-compatible canonical serialization (host side).
+
+Byte formats follow ark-serialize 0.4 conventions as used for Fiat-Shamir
+framing throughout the reference (`gipa.rs:240-247`, `sipp/src/lib.rs:56-60`):
+
+  Fp element      : little-endian bytes of the canonical integer,
+                    ceil(MODULUS_BIT_SIZE / 8) bytes (48 for the BLS12 base
+                    fields, 32 for their scalar fields)
+  Fp2 / Fp6 / Fp12: concatenation of coefficients, c0 first
+  GT              : the underlying Fp12
+  G1/G2 affine uncompressed: ser(x) || ser(y), flag bits OR'd into the most
+                    significant bits of the FINAL byte of y:
+                      0x40 -> point at infinity (x = y = 0)
+                      0x80 -> y is lexicographically "negative" (y > -y)
+  G1/G2 affine compressed: ser(x) with the same flag scheme on x's last byte
+  Vec<T>          : u64 little-endian length prefix, then elements
+  usize nonce     : 8-byte big-endian (matches counter_nonce.to_be_bytes())
+
+NOTE: exact bit-for-bit agreement with arkworks cannot be revalidated in this
+environment (no Rust toolchain); the format is centralized here so a future
+golden-vector check only needs to touch this module.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from ..host.curves import PairingCurve
+from ..host.field import FieldOps, FpOps
+
+
+def int_to_bytes_le(v: int, length: int) -> bytes:
+    return int(v).to_bytes(length, "little")
+
+
+def bytes_le_to_int(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def field_nbytes(f: FieldOps) -> int:
+    # per base-field coefficient
+    return (f.p.bit_length() + 7) // 8
+
+
+def ser_fp(f: FpOps, a: int) -> bytes:
+    return int_to_bytes_le(a, field_nbytes(f))
+
+
+def ser_field(f: FieldOps, a) -> bytes:
+    """Serialize any tower element (flatten to base-field coeffs, c0 first)."""
+    nb = field_nbytes(f)
+    return b"".join(int_to_bytes_le(c, nb) for c in f.tolist(a))
+
+
+def deser_field(f: FieldOps, data: bytes):
+    nb = field_nbytes(f)
+    n = f.degree
+    assert len(data) == nb * n
+    ints = [bytes_le_to_int(data[i * nb : (i + 1) * nb]) for i in range(n)]
+    return f.fromlist(ints)
+
+
+def _y_is_negative(f: FieldOps, y) -> bool:
+    """Lexicographic comparison y > -y (big-endian over flattened coeffs,
+    most significant coefficient first)."""
+    ly = list(reversed(f.tolist(y)))
+    ln = list(reversed(f.tolist(f.neg(y))))
+    return ly > ln
+
+
+def ser_group_uncompressed(f: FieldOps, pt) -> bytes:
+    """Short-Weierstrass affine point, uncompressed."""
+    nb = field_nbytes(f) * f.degree
+    if pt is None:
+        x = b"\x00" * nb
+        y = bytearray(b"\x00" * nb)
+        y[-1] |= 0x40
+        return x + bytes(y)
+    xb = ser_field(f, pt[0])
+    yb = bytearray(ser_field(f, pt[1]))
+    if _y_is_negative(f, pt[1]):
+        yb[-1] |= 0x80
+    return xb + bytes(yb)
+
+
+def ser_group_compressed(f: FieldOps, pt) -> bytes:
+    nb = field_nbytes(f) * f.degree
+    if pt is None:
+        x = bytearray(b"\x00" * nb)
+        x[-1] |= 0x40
+        return bytes(x)
+    xb = bytearray(ser_field(f, pt[0]))
+    if _y_is_negative(f, pt[1]):
+        xb[-1] |= 0x80
+    return bytes(xb)
+
+
+def deser_group_uncompressed(f: FieldOps, curve, data: bytes):
+    nb = field_nbytes(f) * f.degree
+    assert len(data) == 2 * nb
+    xb, yb = data[:nb], bytearray(data[nb:])
+    flags = yb[-1] & 0xC0
+    yb[-1] &= 0x3F
+    if flags & 0x40:
+        return None
+    x = deser_field(f, xb)
+    y = deser_field(f, bytes(yb))
+    pt = (x, y)
+    assert curve.is_on_curve(pt), "deserialized point not on curve"
+    return pt
+
+
+def ser_vec(elem_ser, items: Sequence) -> bytes:
+    out = len(items).to_bytes(8, "little")
+    return out + b"".join(elem_ser(i) for i in items)
+
+
+def nonce_bytes(counter: int) -> bytes:
+    return counter.to_bytes(8, "big")
+
+
+# --- curve-bound convenience wrappers --------------------------------------
+
+class CurveSerializer:
+    """Serialization helpers bound to a pairing curve (host representation)."""
+
+    def __init__(self, curve: PairingCurve):
+        self.curve = curve
+        self.t = curve.tower
+
+    # single elements
+    def fr(self, a: int) -> bytes:
+        return ser_fp(self.curve.fr, a % self.curve.r)
+
+    def fp(self, a: int) -> bytes:
+        return ser_fp(self.t.fp, a)
+
+    def g1(self, pt, compressed: bool = False) -> bytes:
+        f = self.t.fp
+        return (ser_group_compressed(f, pt) if compressed
+                else ser_group_uncompressed(f, pt))
+
+    def g2(self, pt, compressed: bool = False) -> bytes:
+        f = self.t.fp2
+        return (ser_group_compressed(f, pt) if compressed
+                else ser_group_uncompressed(f, pt))
+
+    def gt(self, a) -> bytes:
+        return ser_field(self.t.fp12, a)
+
+    # vectors (with u64 length prefix, ark Vec/slice convention)
+    def g1_vec(self, pts: Sequence) -> bytes:
+        return ser_vec(self.g1, pts)
+
+    def g2_vec(self, pts: Sequence) -> bytes:
+        return ser_vec(self.g2, pts)
+
+    def fr_vec(self, xs: Sequence[int]) -> bytes:
+        return ser_vec(self.fr, xs)
