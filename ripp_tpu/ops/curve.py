@@ -1,0 +1,292 @@
+"""Device elliptic curve kernels: branchless complete formulas.
+
+Points are homogeneous projective (X:Y:Z) pytrees of limb arrays; identity
+is (0:1:0). Addition/doubling use the Renes-Costello-Batina complete
+formulas for a=0 short-Weierstrass curves (Algorithms 7 and 9 of
+eprint 2015/1060) - total, so no data-dependent branches anywhere: exactly
+what the TPU VPU wants (SURVEY.md section 7.3 "divergent control flow").
+
+Generic over a field-ops object (DevFp for G1, device Fp2 for G2) plus the
+curve constant b3 = 3*b, so one kernel serves G1/G2 on every curve. Twisted
+Edwards (JubJub) gets its own complete-addition kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .tower import tree_select
+
+
+class DevSWCurve:
+    """a=0 short Weierstrass group kernels over field ops F."""
+
+    def __init__(self, F, b3, name: str = "dev_curve", jit: bool = True):
+        self.F = F
+        self.b3 = b3  # 3*b as a device field element
+        self.name = name
+        if jit:
+            # jit the hot kernels once per instance; jax caches per shape
+            self.add = jax.jit(self.add)
+            self.double = jax.jit(self.double)
+            self.scalar_mul_bits = jax.jit(self.scalar_mul_bits)
+            self.normalize = jax.jit(self.normalize)
+            self.sum_reduce = jax.jit(self.sum_reduce, static_argnames="axis")
+
+    # --- identities ----------------------------------------------------------
+    def identity_like(self, x):
+        """Identity point (0:1:0) broadcast to the batch shape of limb array
+        tree x (a field element tree)."""
+        F = self.F
+        zero = jax.tree.map(jnp.zeros_like, x)
+        one = jax.tree.map(
+            lambda z, o: jnp.broadcast_to(o, z.shape), zero,
+            self._bcast_const(F.one(), zero),
+        )
+        return (zero, one, jax.tree.map(jnp.zeros_like, x))
+
+    @staticmethod
+    def _bcast_const(c, like):
+        # broadcast a constant element tree to the structure of `like`
+        if isinstance(like, tuple):
+            return tuple(DevSWCurve._bcast_const(ci, li) for ci, li in zip(c, like))
+        return c
+
+    def is_identity(self, P):
+        Z = P[2]
+        leaves = jax.tree.leaves(Z)
+        acc = jnp.all(leaves[0] == 0, axis=-1)
+        for l in leaves[1:]:
+            acc = jnp.logical_and(acc, jnp.all(l == 0, axis=-1))
+        return acc
+
+    # --- complete group law (RCB15 algorithms 7 & 9, a = 0) ------------------
+    def add(self, P, Q):
+        F = self.F
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        b3 = self.b3
+        t0 = F.mul(X1, X2)
+        t1 = F.mul(Y1, Y2)
+        t2 = F.mul(Z1, Z2)
+        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+        t3 = F.sub(t3, F.add(t0, t1))
+        t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+        t4 = F.sub(t4, F.add(t1, t2))
+        x3 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+        y3 = F.sub(x3, F.add(t0, t2))
+        x3 = F.add(t0, t0)
+        t0 = F.add(x3, t0)
+        t2 = F.mul(b3, t2)
+        z3 = F.add(t1, t2)
+        t1 = F.sub(t1, t2)
+        y3 = F.mul(b3, y3)
+        x3 = F.mul(t4, y3)
+        t2 = F.mul(t3, t1)
+        x3 = F.sub(t2, x3)
+        y3 = F.mul(y3, t0)
+        t1 = F.mul(t1, z3)
+        y3 = F.add(t1, y3)
+        t0 = F.mul(t0, t3)
+        z3 = F.mul(z3, t4)
+        z3 = F.add(z3, t0)
+        return (x3, y3, z3)
+
+    def double(self, P):
+        F = self.F
+        X, Y, Z = P
+        b3 = self.b3
+        t0 = F.sqr(Y)
+        z3 = F.add(t0, t0)
+        z3 = F.add(z3, z3)
+        z3 = F.add(z3, z3)
+        t1 = F.mul(Y, Z)
+        t2 = F.sqr(Z)
+        t2 = F.mul(b3, t2)
+        x3 = F.mul(t2, z3)
+        y3 = F.add(t0, t2)
+        z3 = F.mul(t1, z3)
+        t1 = F.add(t2, t2)
+        t2 = F.add(t1, t2)
+        t0 = F.sub(t0, t2)
+        y3 = F.mul(t0, y3)
+        y3 = F.add(x3, y3)
+        t1 = F.mul(X, Y)
+        x3 = F.mul(t0, t1)
+        x3 = F.add(x3, x3)
+        return (x3, y3, z3)
+
+    def neg(self, P):
+        X, Y, Z = P
+        return (X, self.F.neg(Y), Z)
+
+    def select(self, mask, P, Q):
+        return tree_select(mask, P, Q)
+
+    # --- scalar multiplication ------------------------------------------------
+    def scalar_mul_bits(self, P, bits):
+        """P * k where bits is a uint32 array of k's bits, MSB first, shape
+        [nbits] (shared scalar) or [batch..., nbits] (per-element scalars).
+        Completeness of add makes the double-and-add ladder branch-free."""
+        shared = bits.ndim == 1
+        nbits = bits.shape[-1]
+        acc = self.identity_like(P[0])
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add(acc, P)
+            if shared:
+                mask = bit > 0  # scalar
+                acc = jax.tree.map(
+                    lambda a, b: jnp.where(mask, a, b), added, acc
+                )
+            else:
+                acc = self.select(bit > 0, added, acc)
+            return acc, None
+
+        xs = bits if shared else jnp.moveaxis(bits, -1, 0)
+        acc, _ = jax.lax.scan(body, acc, xs)
+        return acc
+
+    # --- normalization ---------------------------------------------------------
+    def normalize(self, P):
+        """(X:Y:Z) -> (x, y, is_inf): affine coordinates via field inversion.
+        Identity lanes return x = y = 0 with is_inf = True."""
+        F = self.F
+        X, Y, Z = P
+        inf = self.is_identity(P)
+        safe_z = tree_select(inf, self._bcast_like(F.one(), Z), Z)
+        zi = F.inv(safe_z)
+        x = F.mul(X, zi)
+        y = F.mul(Y, zi)
+        zero = jax.tree.map(jnp.zeros_like, x)
+        x = tree_select(inf, zero, x)
+        y = tree_select(inf, zero, y)
+        return (x, y, inf)
+
+    def _bcast_like(self, c, like):
+        return jax.tree.map(
+            lambda l, cc: jnp.broadcast_to(cc, l.shape), like,
+            self._bcast_const(c, like),
+        )
+
+    def from_affine(self, x, y, inf):
+        """(x, y, is_inf[batch]) -> projective with identity encoded (0:1:0)."""
+        F = self.F
+        one = self._bcast_like(F.one(), x)
+        zero = jax.tree.map(jnp.zeros_like, x)
+        X = tree_select(inf, zero, x)
+        Y = tree_select(inf, one, y)
+        Z = tree_select(inf, zero, one)
+        return (X, Y, Z)
+
+    def eq(self, P, Q):
+        """Projective equality: X1 Z2 == X2 Z1 and Y1 Z2 == Y2 Z1 (with both-
+        identity handling)."""
+        F = self.F
+        x_eq = self._tree_feq(F.mul(P[0], Q[2]), F.mul(Q[0], P[2]))
+        y_eq = self._tree_feq(F.mul(P[1], Q[2]), F.mul(Q[1], P[2]))
+        both_inf = jnp.logical_and(self.is_identity(P), self.is_identity(Q))
+        one_inf = jnp.logical_xor(self.is_identity(P), self.is_identity(Q))
+        return jnp.logical_and(
+            jnp.logical_not(one_inf),
+            jnp.logical_or(both_inf, jnp.logical_and(x_eq, y_eq)),
+        )
+
+    @staticmethod
+    def _tree_feq(a, b):
+        leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+        acc = jnp.all(leaves_a[0] == leaves_b[0], axis=-1)
+        for x, y in zip(leaves_a[1:], leaves_b[1:]):
+            acc = jnp.logical_and(acc, jnp.all(x == y, axis=-1))
+        return acc
+
+    # --- reductions -------------------------------------------------------------
+    def sum_reduce(self, P, axis: int = 0):
+        """Tree-reduce a batch of points along `axis` to a single point
+        (log-depth, fully vectorized)."""
+        n = jax.tree.leaves(P)[0].shape[axis]
+
+        def take(tree, sl):
+            return jax.tree.map(lambda x: x[sl], tree)
+
+        # pad to a power of two with identity
+        m = 1
+        while m < n:
+            m *= 2
+        if m != n:
+            pad = self.identity_like(
+                jax.tree.map(
+                    lambda x: jnp.take(x, jnp.zeros(m - n, dtype=jnp.int32),
+                                       axis=axis),
+                    P[0],
+                )
+            )
+            P = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=axis), P, pad
+            )
+            n = m
+        assert axis == 0, "sum_reduce currently supports axis 0"
+        while n > 1:
+            half = n // 2
+            hi = jax.tree.map(lambda x: x[half : 2 * half], P)
+            lo = jax.tree.map(lambda x: x[:half], P)
+            P = self.add(lo, hi)
+            n = half
+        return jax.tree.map(lambda x: x[0], P)
+
+
+class DevEdwardsCurve:
+    """Twisted Edwards (a x^2 + y^2 = 1 + d x^2 y^2) complete addition over
+    DevFp; affine coordinates (complete => no special cases). For JubJub
+    Pedersen parity."""
+
+    def __init__(self, F, a_const, d_const, name="dev_edwards", jit=True):
+        self.F = F
+        self.a = a_const
+        self.d = d_const
+        self.name = name
+        if jit:
+            self.add = jax.jit(self.add)
+            self.scalar_mul_bits = jax.jit(self.scalar_mul_bits)
+
+    def identity_like(self, x):
+        zero = jnp.zeros_like(x)
+        one = jnp.broadcast_to(self.F.one(), x.shape)
+        return (zero, one)
+
+    def add(self, P, Q):
+        F = self.F
+        x1, y1 = P
+        x2, y2 = Q
+        x1y2 = F.mul(x1, y2)
+        x2y1 = F.mul(x2, y1)
+        y1y2 = F.mul(y1, y2)
+        x1x2 = F.mul(x1, x2)
+        dxy = F.mul(self.d, F.mul(x1y2, x2y1))
+        one = jnp.broadcast_to(F.one(), dxy.shape)
+        inv1 = F.inv(F.add(one, dxy))
+        inv2 = F.inv(F.sub(one, dxy))
+        x3 = F.mul(F.add(x1y2, x2y1), inv1)
+        y3 = F.mul(F.sub(y1y2, F.mul(self.a, x1x2)), inv2)
+        return (x3, y3)
+
+    def scalar_mul_bits(self, P, bits):
+        shared = bits.ndim == 1
+        acc = self.identity_like(P[0])
+
+        def body(acc, bit):
+            acc = self.add(acc, acc)
+            added = self.add(acc, P)
+            if shared:
+                sel = lambda a, b: jnp.where(bit > 0, a, b)
+            else:
+                sel = lambda a, b: jnp.where((bit > 0)[..., None], a, b)
+            return tuple(sel(a, b) for a, b in zip(added, acc)), None
+
+        xs = bits if shared else jnp.moveaxis(bits, -1, 0)
+        acc, _ = jax.lax.scan(body, acc, xs)
+        return acc

@@ -1,0 +1,162 @@
+"""Pippenger multi-scalar multiplication on TPU.
+
+Replaces ark-ec VariableBaseMSM (reference call sites:
+/root/reference/inner_products/src/lib.rs:140, sipp/src/lib.rs:174-175).
+
+TPU-native formulation - no data-dependent branching, no serial bucket
+walk (SURVEY.md section 7.3): per window,
+
+  1. digits <- 16/8-bit slices of the (de-Montgomeryized) scalars
+  2. sort points by digit (argsort + gather)
+  3. segmented inclusive scan (Hillis-Steele) with the complete point-add:
+     log2(n) vectorized steps; sorted keys make the segment rule exact
+  4. segment-end sums scattered to buckets with *unique* indices (non-ends
+     write to private dummy slots, so XLA scatter stays deterministic)
+  5. bucket combine sum_k k*S_k = sum_t suffix_t via a reversed scan, then a
+     log-depth tree reduction
+  6. windows combined MSB->LSB with c doublings per window
+
+All stages are vectorized adds over n or 2^c lanes; wall-clock depth is
+windows * (log2 n + c) point-add steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .curve import DevSWCurve
+from .fp import LIMB_BITS
+from .tower import tree_select
+
+
+def _tree_take(tree, idx, axis=0):
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=axis), tree)
+
+
+def scalars_to_digits(fr, scalars_mont, window_bits: int, nbits: int):
+    """Device Fr Montgomery limbs [n, NL] -> digit matrix [n, n_windows]
+    (least-significant window first)."""
+    one_plain = jnp.zeros((fr.nl,), dtype=jnp.uint32).at[0].set(1)
+    canon = fr.mul(scalars_mont, one_plain)  # de-Montgomeryize
+    n_windows = (nbits + window_bits - 1) // window_bits
+    digits = []
+    for w in range(n_windows):
+        lo_bit = w * window_bits
+        acc = jnp.zeros(canon.shape[:-1], dtype=jnp.uint32)
+        # gather the window's bits from the 16-bit limbs (window may straddle)
+        for b in range(window_bits):
+            bit = lo_bit + b
+            if bit >= nbits + window_bits:
+                break
+            limb = bit // LIMB_BITS
+            if limb >= canon.shape[-1]:
+                continue
+            off = bit % LIMB_BITS
+            acc = acc | (((canon[..., limb] >> off) & 1) << b)
+        digits.append(acc)
+    return jnp.stack(digits, axis=-1)  # [n, n_windows]
+
+
+def _segmented_scan_add(curve: DevSWCurve, pts, keys):
+    """Inclusive segmented scan with point addition over axis 0.
+    keys must be sorted ascending; pts is a projective point tree [n, ...]."""
+    n = keys.shape[0]
+    ident = curve.identity_like(pts[0])
+    s = 1
+    while s < n:
+        # shift down by s: element i combines with i-s when keys match
+        prev = jax.tree.map(lambda x: jnp.roll(x, s, axis=0), pts)
+        prev_keys = jnp.roll(keys, s, axis=0)
+        valid = jnp.arange(n) >= s
+        same = jnp.logical_and(valid, prev_keys == keys)
+        combined = curve.add(pts, prev)
+        pts = tree_select(same, combined, pts)
+        s *= 2
+    return pts
+
+
+def _suffix_weighted_sum(curve: DevSWCurve, buckets):
+    """Given bucket sums S_k for k = 0..K-1 ([K, ...] tree), return
+    sum_{k>=1} k * S_k = sum_{t>=1} (sum_{k>=t} S_k)."""
+    K = jax.tree.leaves(buckets)[0].shape[0]
+    # drop bucket 0, reverse so suffix sums become prefix sums
+    b = jax.tree.map(lambda x: x[1:][::-1], buckets)  # [K-1]
+    n = K - 1
+    s = 1
+    while s < n:
+        prev = jax.tree.map(lambda x: jnp.roll(x, s, axis=0), b)
+        valid = jnp.arange(n) >= s
+        combined = curve.add(b, prev)
+        b = tree_select(valid, combined, b)
+        s *= 2
+    # b[i] = S_{K-1} + ... + S_{K-1-i} (prefix of reversed) = suffix sums
+    return curve.sum_reduce(b, axis=0)
+
+
+@partial(jax.jit, static_argnames=("curve", "window_bits", "nbits"))
+def _msm_windows(curve: DevSWCurve, points, digits, window_bits: int,
+                 nbits: int):
+    """Compute all window sums W_w. Returns a point tree [n_windows, ...].
+    The per-window body is traced ONCE (lax.map over window columns) - the
+    unrolled version made jaxprs explode."""
+    n = digits.shape[0]
+    K = 1 << window_bits
+
+    def one_window(keys):
+        order = jnp.argsort(keys)
+        keys_s = jnp.take(keys, order)
+        pts_s = _tree_take(points, order)
+        scanned = _segmented_scan_add(curve, pts_s, keys_s)
+        # segment ends: last position of each key run
+        next_keys = jnp.concatenate(
+            [keys_s[1:], jnp.full((1,), K + 1, dtype=keys_s.dtype)]
+        )
+        is_end = keys_s != next_keys
+        # unique scatter indices: ends -> their bucket, others -> dummy slots
+        # (unique indices keep the XLA scatter deterministic)
+        idx = jnp.where(is_end, keys_s, K + jnp.arange(n, dtype=keys_s.dtype))
+        # untouched bucket slots must hold the IDENTITY point (0:1:0), not
+        # all-zeros, or later adds would be poisoned
+        buckets0 = curve.identity_like(
+            jax.tree.map(
+                lambda x: jnp.zeros((K + n,) + x.shape[1:], x.dtype), pts_s[0]
+            )
+        )
+        buckets = jax.tree.map(
+            lambda dst, src: dst.at[idx].set(src), buckets0, scanned
+        )
+        buckets = jax.tree.map(lambda x: x[:K], buckets)
+        return _suffix_weighted_sum(curve, buckets)
+
+    return jax.lax.map(one_window, jnp.moveaxis(digits, 0, 1))
+
+
+@partial(jax.jit, static_argnames=("curve", "fr", "window_bits", "nbits"))
+def msm(curve: DevSWCurve, fr, points, scalars_mont, window_bits: int = 8,
+        nbits: int = None):
+    """points: projective tree [n, ...]; scalars_mont: Fr limbs [n, NL].
+    Returns a single projective point (no batch dim)."""
+    nbits = nbits or (fr.p.bit_length())
+    digits = scalars_to_digits(fr, scalars_mont, window_bits, nbits)
+    windows = _msm_windows(curve, points, digits, window_bits, nbits)
+    return _combine_windows(curve, windows, window_bits)
+
+
+@partial(jax.jit, static_argnames=("curve", "window_bits"))
+def _combine_windows(curve: DevSWCurve, windows, window_bits: int):
+    n_windows = jax.tree.leaves(windows)[0].shape[0]
+
+    def body(acc, w):
+        for _ in range(window_bits):
+            acc = curve.double(acc)
+        return curve.add(acc, w), None
+
+    # windows are LSB-first; combine from MSB
+    rev = jax.tree.map(lambda x: x[::-1], windows)
+    init = curve.identity_like(jax.tree.map(lambda x: x[0], rev)[0])
+    acc, _ = jax.lax.scan(body, init, rev)
+    return acc

@@ -1,0 +1,198 @@
+"""Batched optimal ate pairing on TPU.
+
+Replaces ark-ec multi_miller_loop/final_exponentiation (reference call sites
+/root/reference/inner_products/src/lib.rs:110-115, sipp/src/lib.rs:210-216).
+
+TPU-native design decisions:
+  * AFFINE Miller loop with batch-amortized inversions: slope denominators
+    for the whole pair-batch are inverted together (Montgomery trick,
+    ~6 muls/pair instead of a per-pair Fermat) - fewer FLOPs than projective
+    line formulas, and the batch dimension is exactly the multipairing size.
+  * Per-pair Miller accumulators f_i (embarrassingly parallel); one log-depth
+    Fp12 product tree at the end; the single final exponentiation happens on
+    host (one element, host pow is microseconds-scale vs a device round-trip).
+  * The BLS parameter's bit pattern is static: the loop is a lax.scan over
+    bits with a lax.cond add-step (runs only on the ~6 set bits).
+  * Lines are built sparsely in w-coefficients of Fp12 = Fp2[w]/(w^6 - xi)
+    through the same twist embedding as the host model (host/pairing.py),
+    then multiplied with a (for now) dense Fp12 mul.
+
+Identity-point pairs are masked to the generator during the loop and their
+Miller value replaced by 1 afterwards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .batchinv import batch_inv
+from .points import DevCurveCtx
+from .tower import tree_select
+
+
+class DevPairing:
+    def __init__(self, ctx: DevCurveCtx):
+        self.ctx = ctx
+        host = ctx.host
+        self.x_bits = tuple(int(b) for b in bin(abs(host.x))[3:])
+        self.x_neg = host.x < 0
+        self.twist = host.twist_type
+        t = ctx.t
+        self.fp, self.fp2, self.fp6, self.fp12 = t.fp, t.fp2, t.fp6, t.fp12
+        if self.twist == "M":
+            xi_inv = host.tower.fp2.inv(host.tower.xi)
+            self.xi_inv = (t.fp.const(xi_inv[0]), t.fp.const(xi_inv[1]))
+        else:
+            self.xi_inv = None
+        self._miller_jit = jax.jit(self._miller_impl)
+
+    # ---- sparse line -> full Fp12 -------------------------------------------
+    def _fp12_from_w(self, coeffs):
+        """coeffs: list of 6 Fp2 elements (trees) for powers w^0..w^5."""
+        a0, a1, a2, a3, a4, a5 = coeffs
+        return ((a0, a2, a4), (a1, a3, a5))
+
+    def _line_to_fp12(self, lam, tx, ty, xP, yP):
+        """Line through T (twist coords) with slope lam, evaluated at the
+        embedded G1 point (xP, yP in Fp, batch [n, NL]).
+
+        D-type: l = yP - lam*xP*w + (lam*tx - ty)*w^3
+        M-type: l = yP*xi + (lam*tx - ty)*w^3 - lam*xP*w^5   (scaled by xi)
+        """
+        F, F2 = self.fp, self.fp2
+        zero2 = (jnp.zeros_like(xP), jnp.zeros_like(xP))
+        lam_xP = (F.mul(lam[0], xP), F.mul(lam[1], xP))
+        neg_lam_xP = F2.neg(lam_xP)
+        c_main = F2.sub(F2.mul(lam, tx), ty)
+        if self.twist == "D":
+            c0 = (yP, jnp.zeros_like(yP))
+            return self._fp12_from_w(
+                [c0, neg_lam_xP, zero2, c_main, zero2, zero2]
+            )
+        # M-type: scale whole line by xi (killed by the final exponentiation)
+        xi = self.ctx.host.tower.xi
+        # yP * xi in Fp2
+        yP2 = (yP, jnp.zeros_like(yP))
+        c0 = self.ctx.t.mul_xi(yP2)
+        return self._fp12_from_w([c0, zero2, zero2, c_main, zero2, neg_lam_xP])
+
+    # ---- Miller loop ----------------------------------------------------------
+    def _miller_impl(self, xP, yP, qx, qy):
+        """Batched Miller f_{|x|,Q}(P). Inputs: xP,yP Fp limbs [n,NL];
+        qx,qy Fp2 trees (twist affine). Returns Fp12 tree [n,...]."""
+        F2, F12 = self.fp2, self.fp12
+
+        def dbl(carry):
+            tx, ty, f = carry
+            f = F12.sqr(f)
+            # lam = 3 tx^2 / (2 ty)
+            num = F2.mul_int(F2.sqr(tx), 3)
+            den = F2.add(ty, ty)
+            lam = F2.mul(num, batch_inv(F2, den))
+            line = self._line_to_fp12(lam, tx, ty, xP, yP)
+            f = F12.mul(f, line)
+            x3 = F2.sub(F2.sqr(lam), F2.add(tx, tx))
+            y3 = F2.sub(F2.mul(lam, F2.sub(tx, x3)), ty)
+            return (x3, y3, f)
+
+        def addq(carry):
+            tx, ty, f = carry
+            num = F2.sub(qy, ty)
+            den = F2.sub(qx, tx)
+            lam = F2.mul(num, batch_inv(F2, den))
+            line = self._line_to_fp12(lam, tx, ty, xP, yP)
+            f = F12.mul(f, line)
+            x3 = F2.sub(F2.sub(F2.sqr(lam), tx), qx)
+            y3 = F2.sub(F2.mul(lam, F2.sub(tx, x3)), ty)
+            return (x3, y3, f)
+
+        n_shape = xP.shape[:-1]
+        f0 = self._ones_fp12(n_shape)
+        bits = jnp.asarray(self.x_bits, dtype=jnp.uint32)
+
+        def body(carry, bit):
+            carry = dbl(carry)
+            carry = jax.lax.cond(bit > 0, addq, lambda c: c, carry)
+            return carry, None
+
+        (tx, ty, f), _ = jax.lax.scan(body, (qx, qy, f0), bits)
+        return f
+
+    def _ones_fp12(self, batch_shape):
+        one = self.fp.one()
+        o = jnp.broadcast_to(one, batch_shape + one.shape)
+        z = jnp.zeros_like(o)
+        return ((o, z), (z, z), (z, z)), ((z, z), (z, z), (z, z))
+
+    def miller_batch(self, g1_aff, g2_aff):
+        """g1_aff: (x, y, inf) from DevSWCurve.normalize on G1;
+        g2_aff: (x, y, inf) on G2. Returns per-pair Miller values [n], with
+        identity pairs already set to 1 (conjugation for negative x applied
+        on host after the final product)."""
+        xP, yP, p_inf = g1_aff
+        qx, qy, q_inf = g2_aff
+        skip = jnp.logical_or(p_inf, q_inf)
+        # mask degenerate pairs to the generator so the loop stays regular
+        gen1 = self.ctx.g1_to_dev([self.ctx.host.g1_gen])
+        gen2 = self.ctx.g2_to_dev([self.ctx.host.g2_gen])
+        g1x = jnp.broadcast_to(gen1[0][0], xP.shape)
+        g1y = jnp.broadcast_to(gen1[1][0], yP.shape)
+        xP = jnp.where(skip[..., None], g1x, xP)
+        yP = jnp.where(skip[..., None], g1y, yP)
+        qx = tree_select(skip, jax.tree.map(
+            lambda g: jnp.broadcast_to(g[0], xP.shape), gen2[0]), qx)
+        qy = tree_select(skip, jax.tree.map(
+            lambda g: jnp.broadcast_to(g[0], xP.shape), gen2[1]), qy)
+        f = self._miller_jit(xP, yP, qx, qy)
+        one = self._ones_fp12(xP.shape[:-1])
+        return tree_select(skip, one, f)
+
+    def product_reduce(self, f):
+        """Log-depth product of Fp12 batch along axis 0 -> single element."""
+        n = jax.tree.leaves(f)[0].shape[0]
+        m = 1
+        while m < n:
+            m *= 2
+        if m != n:
+            pad = self._ones_fp12((m - n,))
+            f = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), f, pad
+            )
+            n = m
+        while n > 1:
+            half = n // 2
+            lo = jax.tree.map(lambda x: x[:half], f)
+            hi = jax.tree.map(lambda x: x[half:], f)
+            f = self.fp12.mul(lo, hi)
+            n = half
+        return f  # [1, ...]
+
+    # ---- end-to-end -----------------------------------------------------------
+    def multi_pairing(self, P_proj, Q_proj):
+        """Full pairing product of projective device batches -> host GT
+        element. Miller + product tree on device, final exp on host."""
+        from ..host import pairing as hp
+
+        g1a = self.ctx.g1.normalize(P_proj)
+        g2a = self.ctx.g2.normalize(Q_proj)
+        f = self.miller_batch(g1a, g2a)
+        prod = self.product_reduce(f)
+        host_f = self.ctx.t.fp12_from_dev(prod)[0]
+        host = self.ctx.host
+        if self.x_neg:
+            host_f = host.tower.fp12_conj(host_f)
+        return hp.final_exponentiation(host, host_f)
+
+
+_PAIRINGS = {}
+
+
+def dev_pairing(ctx: DevCurveCtx) -> DevPairing:
+    key = id(ctx)
+    if key not in _PAIRINGS:
+        _PAIRINGS[key] = DevPairing(ctx)
+    return _PAIRINGS[key]

@@ -1,0 +1,106 @@
+"""Device curve contexts: bind towers + curve kernels + host conversions.
+
+`DevCurveCtx` is the device-side counterpart of host `PairingCurve`: G1 over
+DevFp, G2 over device Fp2, scalar helpers over Fr, with host<->device point
+conversion (affine host tuples <-> projective limb pytrees).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..host.curves import PairingCurve
+from .curve import DevSWCurve
+from .fp import LIMB_BITS
+from .tower import DevTower, dev_tower, tree_select
+
+
+class DevCurveCtx:
+    def __init__(self, tower: DevTower):
+        self.t = tower
+        self.host = tower.curve
+        c = self.host
+        fp, fp2 = tower.fp, tower.fp2
+
+        b3_g1 = fp.const(3 * c.g1.b % c.p)
+        self.g1 = DevSWCurve(fp, b3_g1, name=c.name + ".dev.g1")
+        b3_g2_host = c.tower.fp2.mul_int(c.g2.b, 3)
+        b3_g2 = (fp.const(b3_g2_host[0]), fp.const(b3_g2_host[1]))
+        self.g2 = DevSWCurve(fp2, b3_g2, name=c.name + ".dev.g2")
+
+    # --- host -> device -------------------------------------------------------
+    def g1_to_dev(self, pts: Sequence):
+        """List of host affine G1 (or None) -> projective device point batch."""
+        xs = [p[0] if p is not None else 0 for p in pts]
+        ys = [p[1] if p is not None else 1 for p in pts]
+        inf = jnp.asarray([p is None for p in pts])
+        x = self.t.fp_to_dev(xs)
+        y = self.t.fp_to_dev(ys)
+        return self.g1.from_affine(x, y, inf)
+
+    def g2_to_dev(self, pts: Sequence):
+        f2 = self.host.tower.fp2
+        xs = [p[0] if p is not None else f2.zero() for p in pts]
+        ys = [p[1] if p is not None else f2.one() for p in pts]
+        inf = jnp.asarray([p is None for p in pts])
+        x = self.t.fp2_to_dev(xs)
+        y = self.t.fp2_to_dev(ys)
+        return self.g2.from_affine(x, y, inf)
+
+    # --- device -> host -------------------------------------------------------
+    def g1_from_dev(self, P) -> List:
+        x, y, inf = self.g1.normalize(P)
+        xs = self.t.fp_from_dev(x)
+        ys = self.t.fp_from_dev(y)
+        infs = np.asarray(inf).reshape(-1)
+        return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+
+    def g2_from_dev(self, P) -> List:
+        x, y, inf = self.g2.normalize(P)
+        xs = self.t.fp2_from_dev(x)
+        ys = self.t.fp2_from_dev(y)
+        infs = np.asarray(inf).reshape(-1)
+        return [None if i else (a, b) for a, b, i in zip(xs, ys, infs)]
+
+    # --- scalars ---------------------------------------------------------------
+    def scalar_bits(self, k: int, nbits: int) -> jnp.ndarray:
+        """Host int -> MSB-first bit array [nbits] (shared-scalar form)."""
+        k = int(k)
+        return jnp.asarray(
+            [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+        )
+
+    def scalars_to_bits(self, ks: Sequence[int], nbits: int) -> jnp.ndarray:
+        """Host ints -> MSB-first bit matrix [n, nbits]."""
+        out = np.zeros((len(ks), nbits), dtype=np.uint32)
+        for j, k in enumerate(ks):
+            k = int(k)
+            for i in range(nbits):
+                out[j, i] = (k >> (nbits - 1 - i)) & 1
+        return jnp.asarray(out)
+
+    def fr_limbs_to_bits(self, fr_mont, nbits: Optional[int] = None):
+        """Device Fr Montgomery limbs [..., NL] -> MSB-first bits
+        [..., nbits] (device-side: demontgomerize then bit-slice)."""
+        fr = self.t.fr
+        # out of Montgomery form: multiply by 1 (mont mul with R^0 = plain 1)
+        one_plain = jnp.zeros((fr.nl,), dtype=jnp.uint32).at[0].set(1)
+        canon = fr.mul(fr_mont, one_plain)
+        nbits = nbits or fr.p.bit_length()
+        bits = []
+        for i in range(nbits - 1, -1, -1):
+            limb = i // LIMB_BITS
+            off = i % LIMB_BITS
+            bits.append((canon[..., limb] >> off) & 1)
+        return jnp.stack(bits, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def dev_ctx(curve_name: str) -> DevCurveCtx:
+    return DevCurveCtx(dev_tower(curve_name))

@@ -1,0 +1,33 @@
+"""JAX configuration: persistent compilation cache.
+
+Big-int kernels (Fermat inversion scans, Miller loops) have large jaxprs;
+first compiles take tens of seconds. A persistent cache makes every later
+process start warm, which matters for the log-round protocol drivers that
+jit one kernel per (type, size).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def setup() -> None:
+    global _DONE
+    if _DONE:
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "RIPP_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
+    _DONE = True
