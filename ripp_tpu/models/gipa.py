@@ -1,0 +1,241 @@
+"""GIPA: the generalized inner product argument (log-round recursive fold).
+
+Re-implementation of /root/reference/ip_proofs/src/gipa.rs as a host-driven
+loop over device kernels: per round, six bulk reductions (two commitments +
+one inner product per side, each a batched pairing product or MSM of size
+n/2) and four vector folds, then one Fiat-Shamir hash on host.
+
+Exact reference semantics preserved:
+  * asymmetric split (gipa.rs:207-217): m_a_1 = m_a[n/2:] pairs with
+    ck_a_1 = ck_a[:n/2]; m_b/ck_b mirrored
+  * challenge swap (gipa.rs:248-256): the hashed 128-bit value plays c_inv
+    (lands on the G2/key side); its inverse is the transcript challenge c
+  * transcript/steps stored REVERSED (final round first), gipa.rs:298-299
+  * verifier: com <- c*com_1 + com + c_inv*com_2 per round; final commitment
+    keys via the challenge-product expansion - here computed per-index and
+    contracted with a device MSM (closing the TODO at gipa.rs:383)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+from ..utils.fiat_shamir import blake2b_digest
+from ..utils.serialize import nonce_bytes
+from .algebra import PLACEHOLDER, HostAlg
+from .vectors import FrVec, PlaceholderVec, PointVec
+
+
+@dataclass
+class GIPAConfig:
+    """One point of the instantiation matrix (SURVEY.md section 2.2)."""
+
+    name: str
+    ctx: Any
+    ip: Any    # .compute(m_a, m_b) -> host element, .out_kind
+    lmc: Any   # left-message commitment
+    rmc: Any   # right-message commitment
+    ipc: Any   # inner-product commitment (IdentityCommitment in the matrix)
+
+    @property
+    def fr_alg(self) -> HostAlg:
+        return HostAlg(self.ctx.host, "fr")
+
+
+@dataclass
+class GIPAProof:
+    # steps stored reversed (final round first), matching the reference
+    steps: List[Tuple[Tuple, Tuple]]  # ((com_a,com_b,com_t), (com_a,com_b,com_t))
+    r_base: Tuple[Any, Any]           # (m_a base, m_b base) host elements
+
+
+@dataclass
+class GIPAAux:
+    transcript: List[int]             # challenges, reversed (final round first)
+    ck_base: Tuple[Any, Any]
+
+
+def _ser_com(cfg: GIPAConfig, com) -> bytes:
+    a, b, t = com
+    return (cfg.lmc.out_alg.ser(a) + cfg.rmc.out_alg.ser(b)
+            + cfg.ipc.out_alg.ser(t))
+
+
+def round_challenge(cfg: GIPAConfig, prev_c: int, com_1, com_2
+                    ) -> Tuple[int, int]:
+    """Returns (c, c_inv) with c = inverse(hash128), c_inv = hash128
+    (the reference's swap, gipa.rs:248-256)."""
+    r = cfg.ctx.host.r
+    base = _ser_com(cfg, com_1) + _ser_com(cfg, com_2)
+    prev = HostAlg(cfg.ctx.host, "fr").ser(prev_c)
+    counter = 0
+    while True:
+        digest = blake2b_digest(nonce_bytes(counter) + prev + base)
+        h = int.from_bytes(digest[:16], "big") % r
+        if h != 0:
+            return pow(h, -1, r), h
+        counter += 1
+
+
+def prove_with_aux(cfg: GIPAConfig, m_a, m_b, ck_a, ck_b, ck_t
+                   ) -> Tuple[GIPAProof, GIPAAux]:
+    n = len(m_a)
+    assert n == len(m_b) == len(ck_a) == len(ck_b)
+    assert n & (n - 1) == 0, "message length must be a power of 2"
+    steps = []
+    transcript: List[int] = []
+    prev_c = 0
+    while n > 1:
+        # asymmetric split (gipa.rs:207-217)
+        m_a_1, m_a_2 = m_a.hi(), m_a.lo()
+        ck_a_1, ck_a_2 = ck_a.lo(), ck_a.hi()
+        m_b_1, m_b_2 = m_b.lo(), m_b.hi()
+        ck_b_1, ck_b_2 = ck_b.hi(), ck_b.lo()
+
+        com_1 = (
+            cfg.lmc.commit(ck_a_1, m_a_1),
+            cfg.rmc.commit(ck_b_1, m_b_1),
+            cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_1, m_b_1)]),
+        )
+        com_2 = (
+            cfg.lmc.commit(ck_a_2, m_a_2),
+            cfg.rmc.commit(ck_b_2, m_b_2),
+            cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_2, m_b_2)]),
+        )
+
+        c, c_inv = round_challenge(cfg, prev_c, com_1, com_2)
+
+        # folds (gipa.rs:261-291)
+        m_a = m_a_1.fold(m_a_2, c)
+        m_b = m_b_2.fold(m_b_1, c_inv)
+        ck_a = ck_a_2.fold(ck_a_1, c_inv)
+        ck_b = ck_b_1.fold(ck_b_2, c)
+
+        steps.append((com_1, com_2))
+        transcript.append(c)
+        prev_c = c
+        n //= 2
+
+    proof = GIPAProof(steps=list(reversed(steps)),
+                      r_base=(m_a.first(), m_b.first()))
+    aux = GIPAAux(transcript=list(reversed(transcript)),
+                  ck_base=(ck_a.first(), ck_b.first()))
+    return proof, aux
+
+
+def prove(cfg: GIPAConfig, values, ck, com) -> GIPAProof:
+    """Full prove with the reference's consistency prechecks (gipa.rs:108)."""
+    m_a, m_b, t = values
+    ck_a, ck_b, ck_t = ck
+    com_a, com_b, com_t = com
+    if not cfg.ipc.out_alg.eq(
+        cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a, m_b)]), com_t
+    ):
+        raise ValueError("inner product does not match commitment")
+    if len(m_a) & (len(m_a) - 1):
+        raise ValueError("message length must be a power of 2")
+    if not cfg.lmc.out_alg.eq(cfg.lmc.commit(ck_a, m_a), com_a):
+        raise ValueError("left message commitment mismatch")
+    if not cfg.rmc.out_alg.eq(cfg.rmc.commit(ck_b, m_b), com_b):
+        raise ValueError("right message commitment mismatch")
+    proof, _ = prove_with_aux(cfg, m_a, m_b, ck_a, ck_b, ck_t)
+    return proof
+
+
+def compute_recursive_challenges(cfg: GIPAConfig, com, proof: GIPAProof
+                                 ) -> Tuple[Tuple, List[int]]:
+    """Replay Fiat-Shamir and fold the commitments (gipa.rs:322-363).
+    Returns (base_com, transcript) with transcript reversed like the
+    reference (final round first)."""
+    com_a, com_b, com_t = com
+    transcript: List[int] = []
+    prev_c = 0
+    la, ra, ta = cfg.lmc.out_alg, cfg.rmc.out_alg, cfg.ipc.out_alg
+    for com_1, com_2 in reversed(proof.steps):  # prove order
+        c, c_inv = round_challenge(cfg, prev_c, com_1, com_2)
+        com_a = la.add(la.add(la.mul_scalar(com_1[0], c), com_a),
+                       la.mul_scalar(com_2[0], c_inv))
+        com_b = ra.add(ra.add(ra.mul_scalar(com_1[1], c), com_b),
+                       ra.mul_scalar(com_2[1], c_inv))
+        com_t = ta.add(ta.add(ta.mul_scalar(com_1[2], c), com_t),
+                       ta.mul_scalar(com_2[2], c_inv))
+        transcript.append(c)
+        prev_c = c
+    return (com_a, com_b, com_t), list(reversed(transcript))
+
+
+def final_ck_exponents(r: int, transcript_reversed: Sequence[int]
+                       ) -> Tuple[List[int], List[int]]:
+    """Challenge-product expansion (gipa.rs:373-381): with the reversed
+    transcript, w_a[idx] = prod_{i: bit_i(idx)} c_i^{-1} and w_b uses c_i."""
+    w_a = [1]
+    w_b = [1]
+    for i, c in enumerate(transcript_reversed):
+        c_inv = pow(c, -1, r)
+        for j in range(1 << i):
+            w_a.append(w_a[j] * c_inv % r)
+            w_b.append(w_b[j] * c % r)
+    return w_a, w_b
+
+
+def compute_final_commitment_keys(cfg: GIPAConfig, ck_a, ck_b,
+                                  transcript: Sequence[int]):
+    """Verifier-side folded keys, via device MSM (vs the reference's serial
+    fold, gipa.rs:383-397)."""
+    r = cfg.ctx.host.r
+    w_a, w_b = final_ck_exponents(r, transcript)
+
+    def contract(ck, w):
+        if isinstance(ck, PlaceholderVec):
+            return PLACEHOLDER
+        if isinstance(ck, PointVec):
+            return ck.msm(FrVec.from_ints(cfg.ctx, w))
+        raise TypeError(type(ck))
+
+    return contract(ck_a, w_a), contract(ck_b, w_b)
+
+
+def verify_base_commitment(cfg: GIPAConfig, base_ck, base_com,
+                           proof: GIPAProof) -> bool:
+    ck_a_base, ck_b_base, ck_t = base_ck
+    com_a, com_b, com_t = base_com
+    a_base, b_base = proof.r_base
+    t_base = cfg.ip_single(a_base, b_base)
+    return (cfg.lmc.verify_single(ck_a_base, a_base, com_a)
+            and cfg.rmc.verify_single(ck_b_base, b_base, com_b)
+            and cfg.ipc.verify_single(PLACEHOLDER, t_base, com_t))
+
+
+def verify(cfg: GIPAConfig, ck, com, proof: GIPAProof) -> bool:
+    ck_a, ck_b, ck_t = ck
+    n = len(ck_a)
+    if n & (n - 1) or n != len(ck_b):
+        raise ValueError("invalid commitment key lengths")
+    base_com, transcript = compute_recursive_challenges(cfg, com, proof)
+    ck_a_base, ck_b_base = compute_final_commitment_keys(
+        cfg, ck_a, ck_b, transcript
+    )
+    return verify_base_commitment(
+        cfg, (ck_a_base, ck_b_base, ck_t), base_com, proof
+    )
+
+
+# --- single-element inner products (host) ----------------------------------
+
+def _ip_single(cfg: GIPAConfig, a, b):
+    host = cfg.ctx.host
+    kind = cfg.ip.out_kind
+    from ..host import pairing as hp
+
+    if kind == "gt":
+        return hp.pairing(host, a, b)
+    if kind in ("g1", "g2"):
+        curve = host.g1 if kind == "g1" else host.g2
+        return curve.scalar_mul(a, b)
+    if kind == "fr":
+        return (a * b) % host.r
+    raise ValueError(kind)
+
+
+GIPAConfig.ip_single = _ip_single

@@ -1,0 +1,126 @@
+"""SIPP: succinct inner pairing product argument (verified outsourcing).
+
+Re-implementation of /root/reference/sipp/src/lib.rs as a host-driven loop
+over device kernels:
+
+  prove (lib.rs:42-106): seed the Blake2s/ChaCha20 sponge with the instance,
+  rescale a by r (per-element device ladder), then per halving round compute
+  two batched pairing products (device), absorb them, squeeze a 128-bit x,
+  and fold a <- a_l + x*a_r, b <- b_l + x^{-1}*b_r on device.
+
+  verify (lib.rs:109-180): replay challenges, recombine the GT proof elements
+  (host, O(log n)), build the s / s_inv exponent vectors (vectorized over
+  index instead of the reference's O(n log n) bit-test loop), then two device
+  MSMs and one final pairing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+from ..host import pairing as hp
+from ..ops.pairing import dev_pairing
+from ..ops.points import DevCurveCtx
+from ..utils.fiat_shamir import FiatShamirRng
+from ..utils.serialize import CurveSerializer
+from .vectors import FrVec, PointVec
+
+
+@dataclass
+class SIPPProof:
+    """Per-round (z_l, z_r) GT pairs (lib.rs:32-34)."""
+
+    gt_elems: List[Tuple[Tuple, Tuple]]
+
+
+def _instance_seed(ctx: DevCurveCtx, a_host, b_host, r: Sequence[int],
+                   value) -> bytes:
+    s = CurveSerializer(ctx.host)
+    return s.g1_vec(a_host) + s.g2_vec(b_host) + s.fr_vec(list(r)) + s.gt(value)
+
+
+def product_of_pairings_with_coeffs(ctx: DevCurveCtx, a: PointVec,
+                                    b: PointVec, r: FrVec):
+    """prod_i e(r_i * A_i, B_i) (lib.rs:184-217)."""
+    a_r = a.hadamard_scale(r)
+    return dev_pairing(ctx).multi_pairing(a_r.pts, b.pts)
+
+
+def product_of_pairings(ctx: DevCurveCtx, a: PointVec, b: PointVec):
+    return dev_pairing(ctx).multi_pairing(a.pts, b.pts)
+
+
+def prove(ctx: DevCurveCtx, a_host: Sequence, b_host: Sequence,
+          r: Sequence[int], value) -> SIPPProof:
+    n = len(a_host)
+    assert n == len(b_host) == len(r)
+    assert n & (n - 1) == 0 and n >= 2, "length must be a power of 2"
+    s = CurveSerializer(ctx.host)
+    rng = FiatShamirRng(_instance_seed(ctx, a_host, b_host, r, value))
+
+    a = PointVec.from_host(ctx, "g1", a_host).hadamard_scale(
+        FrVec.from_ints(ctx, list(r))
+    )
+    b = PointVec.from_host(ctx, "g2", b_host)
+
+    gt_elems = []
+    length = n
+    while length != 1:
+        length //= 2
+        a_l, a_r = a.lo(), a.hi()
+        b_l, b_r = b.lo(), b.hi()
+        z_l = product_of_pairings(ctx, a_r, b_l)
+        z_r = product_of_pairings(ctx, a_l, b_r)
+        gt_elems.append((z_l, z_r))
+        rng.absorb(s.gt(z_l) + s.gt(z_r))
+        x = rng.next_u128()
+        x_inv = pow(x, -1, ctx.host.r)
+        a = a_r.fold(a_l, x)
+        b = b_r.fold(b_l, x_inv)
+    return SIPPProof(gt_elems=gt_elems)
+
+
+def verify(ctx: DevCurveCtx, a_host: Sequence, b_host: Sequence,
+           r: Sequence[int], claimed_value, proof: SIPPProof) -> bool:
+    n = len(a_host)
+    assert n & (n - 1) == 0 and n >= 2
+    assert len(proof.gt_elems) == n.bit_length() - 1
+    host = ctx.host
+    s = CurveSerializer(host)
+    rng = FiatShamirRng(_instance_seed(ctx, a_host, b_host, r, claimed_value))
+
+    # replay challenges
+    x_s: List[int] = []
+    for z_l, z_r in proof.gt_elems:
+        rng.absorb(s.gt(z_l) + s.gt(z_r))
+        x_s.append(rng.next_u128())
+    x_invs = [pow(x, -1, host.r) for x in x_s]
+
+    # z' = claimed + sum(z_l * x + z_r * x_inv)   [GT, additive notation]
+    z_prime = claimed_value
+    F12 = host.tower.fp12
+    for (z_l, z_r), x, x_inv in zip(proof.gt_elems, x_s, x_invs):
+        term = hp.gt_mul(host, hp.gt_exp(host, z_l, x),
+                         hp.gt_exp(host, z_r, x_inv))
+        z_prime = hp.gt_mul(host, z_prime, term)
+
+    # s / s_inv exponent vectors: s[i] = prod_{j: bit_j(i)} x_j, computed
+    # per-index (lib.rs:160-171 restructured without the serial double loop)
+    proof_len = len(x_s)
+    ss = [1] * n
+    s_invs = [1] * n
+    for j, (x, x_inv) in enumerate(zip(x_s, x_invs)):
+        bit = 1 << (proof_len - j - 1)
+        for i in range(n):
+            if i & bit:
+                ss[i] = ss[i] * x % host.r
+                s_invs[i] = s_invs[i] * x_inv % host.r
+    ss = [si * ri % host.r for si, ri in zip(ss, r)]
+
+    a_vec = PointVec.from_host(ctx, "g1", a_host)
+    b_vec = PointVec.from_host(ctx, "g2", b_host)
+    a_prime = a_vec.msm(FrVec.from_ints(ctx, ss))
+    b_prime = b_vec.msm(FrVec.from_ints(ctx, s_invs))
+
+    return hp.pairing(host, a_prime, b_prime) == z_prime

@@ -1,0 +1,202 @@
+"""Device-backed protocol vectors (Fr scalars, G1/G2 points, placeholders).
+
+These are the protocol layer's working objects: big vectors stay resident on
+device as limb pytrees; the log-round GIPA/SIPP folds, hadamard rescales and
+inner-product reductions all run as jitted kernels; only single elements
+cross to host (for Fiat-Shamir).
+
+Fold conventions follow gipa.rs:261-291: `fold(self, other, c)` computes
+c * self + other, with the scalar bit-width chosen from c (the reference's
+128-bit-challenge optimization falls out automatically).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import msm as msm_mod
+from ..ops.points import DevCurveCtx
+from ..ops.tower import tree_select
+
+
+def _nbits_for(ctx: DevCurveCtx, c: int) -> int:
+    return 128 if c < (1 << 128) else ctx.host.r.bit_length()
+
+
+class FrVec:
+    """Vector of Fr scalars: Montgomery limbs [n, NL] on device."""
+
+    kind = "fr"
+
+    def __init__(self, ctx: DevCurveCtx, arr, n: int):
+        self.ctx = ctx
+        self.arr = arr
+        self.n = n
+
+    @classmethod
+    def from_ints(cls, ctx: DevCurveCtx, ints: Sequence[int]) -> "FrVec":
+        return cls(ctx, ctx.t.fr_to_dev([i % ctx.host.r for i in ints]),
+                   len(ints))
+
+    def to_ints(self) -> List[int]:
+        return self.ctx.t.fr_from_dev(self.arr)
+
+    def __len__(self):
+        return self.n
+
+    def lo(self) -> "FrVec":
+        return FrVec(self.ctx, self.arr[: self.n // 2], self.n // 2)
+
+    def hi(self) -> "FrVec":
+        return FrVec(self.ctx, self.arr[self.n // 2 :], self.n - self.n // 2)
+
+    def fold(self, other: "FrVec", c: int) -> "FrVec":
+        """c * self + other (elementwise)."""
+        fr = self.ctx.t.fr
+        cc = fr.const(c % self.ctx.host.r)
+        return FrVec(self.ctx, fr.add(fr.mul(self.arr, cc), other.arr), self.n)
+
+    def scale(self, c: int) -> "FrVec":
+        fr = self.ctx.t.fr
+        return FrVec(self.ctx, fr.mul(self.arr, fr.const(c % self.ctx.host.r)),
+                     self.n)
+
+    def hadamard(self, other: "FrVec") -> "FrVec":
+        fr = self.ctx.t.fr
+        return FrVec(self.ctx, fr.mul(self.arr, other.arr), self.n)
+
+    def first(self) -> int:
+        return self.ctx.t.fr_from_dev(self.arr[:1])[0]
+
+    def inner_product(self, other: "FrVec") -> int:
+        """Scalar inner product (device dot, host int out)."""
+        fr = self.ctx.t.fr
+        prods = fr.mul(self.arr, other.arr)
+        # log-depth tree reduction with modular adds
+        n = prods.shape[0]
+        m = 1
+        while m < n:
+            m *= 2
+        if m != n:
+            prods = jnp.concatenate(
+                [prods, jnp.zeros((m - n, prods.shape[1]), prods.dtype)]
+            )
+            n = m
+        while n > 1:
+            half = n // 2
+            prods = fr.add(prods[:half], prods[half:])
+            n = half
+        return self.ctx.t.fr_from_dev(prods)[0]
+
+
+class PointVec:
+    """Vector of curve points (projective limb pytree) on device."""
+
+    def __init__(self, ctx: DevCurveCtx, grp: str, pts, n: int):
+        self.ctx = ctx
+        self.grp = grp  # 'g1' | 'g2'
+        self.pts = pts
+        self.n = n
+
+    @property
+    def kind(self):
+        return self.grp
+
+    @property
+    def dcurve(self):
+        return self.ctx.g1 if self.grp == "g1" else self.ctx.g2
+
+    @classmethod
+    def from_host(cls, ctx: DevCurveCtx, grp: str, points: Sequence):
+        to_dev = ctx.g1_to_dev if grp == "g1" else ctx.g2_to_dev
+        return cls(ctx, grp, to_dev(list(points)), len(points))
+
+    def to_host(self) -> List:
+        from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
+                    else self.ctx.g2_from_dev)
+        return from_dev(self.pts)
+
+    def __len__(self):
+        return self.n
+
+    def _slice(self, sl) -> "PointVec":
+        pts = jax.tree.map(lambda x: x[sl], self.pts)
+        n = len(range(*sl.indices(self.n)))
+        return PointVec(self.ctx, self.grp, pts, n)
+
+    def lo(self) -> "PointVec":
+        return self._slice(slice(0, self.n // 2))
+
+    def hi(self) -> "PointVec":
+        return self._slice(slice(self.n // 2, self.n))
+
+    def fold(self, other: "PointVec", c: int) -> "PointVec":
+        """c * self + other (elementwise, shared scalar)."""
+        bits = self.ctx.scalar_bits(c % self.ctx.host.r,
+                                    _nbits_for(self.ctx, c))
+        scaled = self.dcurve.scalar_mul_bits(self.pts, bits)
+        return PointVec(self.ctx, self.grp, self.dcurve.add(scaled, other.pts),
+                        self.n)
+
+    def scale(self, c: int) -> "PointVec":
+        bits = self.ctx.scalar_bits(c % self.ctx.host.r,
+                                    _nbits_for(self.ctx, c))
+        return PointVec(self.ctx, self.grp,
+                        self.dcurve.scalar_mul_bits(self.pts, bits), self.n)
+
+    def hadamard_scale(self, scalars: FrVec) -> "PointVec":
+        """Per-element rescale: out_i = scalars_i * self_i (e.g. A o r_vec)."""
+        bits = self.ctx.fr_limbs_to_bits(scalars.arr)
+        return PointVec(self.ctx, self.grp,
+                        self.dcurve.scalar_mul_bits(self.pts, bits), self.n)
+
+    def first(self):
+        from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
+                    else self.ctx.g2_from_dev)
+        return from_dev(jax.tree.map(lambda x: x[:1], self.pts))[0]
+
+    def sum(self):
+        """Host point = sum of all elements."""
+        red = self.dcurve.sum_reduce(self.pts)
+        from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
+                    else self.ctx.g2_from_dev)
+        return from_dev(jax.tree.map(lambda x: x[None], red))[0]
+
+    def msm(self, scalars: FrVec):
+        """MSM against an Fr vector -> host point (MIPP kernel,
+        inner_products/src/lib.rs:118-142 analog)."""
+        res = msm_mod.msm(self.dcurve, self.ctx.t.fr, self.pts, scalars.arr)
+        from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
+                    else self.ctx.g2_from_dev)
+        return from_dev(jax.tree.map(lambda x: x[None], res))[0]
+
+
+class PlaceholderVec:
+    """Vector of HomomorphicPlaceholderValue keys (no data, no folds)."""
+
+    kind = "placeholder"
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def lo(self):
+        return PlaceholderVec(self.n // 2)
+
+    def hi(self):
+        return PlaceholderVec(self.n - self.n // 2)
+
+    def fold(self, other, c):
+        return PlaceholderVec(self.n)
+
+    def first(self):
+        from .algebra import PLACEHOLDER
+        return PLACEHOLDER

@@ -206,37 +206,28 @@ class DevSWCurve:
 
     # --- reductions -------------------------------------------------------------
     def sum_reduce(self, P, axis: int = 0):
-        """Tree-reduce a batch of points along `axis` to a single point
-        (log-depth, fully vectorized)."""
-        n = jax.tree.leaves(P)[0].shape[axis]
+        """Sum a batch of points along `axis` to a single point.
 
-        def take(tree, sl):
-            return jax.tree.map(lambda x: x[sl], tree)
-
-        # pad to a power of two with identity
-        m = 1
-        while m < n:
-            m *= 2
-        if m != n:
-            pad = self.identity_like(
-                jax.tree.map(
-                    lambda x: jnp.take(x, jnp.zeros(m - n, dtype=jnp.int32),
-                                       axis=axis),
-                    P[0],
-                )
-            )
-            P = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=axis), P, pad
-            )
-            n = m
+        Implemented as a lax.scan over log2(n) shift-and-add steps so the
+        jaxpr contains exactly ONE point-add instance - XLA compile time for
+        these limb kernels scales with the number of inlined field
+        multiplications, so unrolled halving trees are unaffordable."""
         assert axis == 0, "sum_reduce currently supports axis 0"
-        while n > 1:
-            half = n // 2
-            hi = jax.tree.map(lambda x: x[half : 2 * half], P)
-            lo = jax.tree.map(lambda x: x[:half], P)
-            P = self.add(lo, hi)
-            n = half
-        return jax.tree.map(lambda x: x[0], P)
+        n = jax.tree.leaves(P)[0].shape[0]
+        if n == 1:
+            return jax.tree.map(lambda x: x[0], P)
+        steps = max(1, (n - 1).bit_length())
+        shifts = jnp.asarray([1 << s for s in range(steps)], dtype=jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+        def body(vals, shift):
+            shifted = jax.tree.map(lambda x: jnp.roll(x, -shift, axis=0), vals)
+            valid = (idx + shift) < n
+            combined = self.add(vals, shifted)
+            return tree_select(valid, combined, vals), None
+
+        vals, _ = jax.lax.scan(body, P, shifts)
+        return jax.tree.map(lambda x: x[0], vals)
 
 
 class DevEdwardsCurve:

@@ -6,10 +6,19 @@ R = 2^(16*NL)) and fully reduced (< p, limbs < 2^16).
 
 Why 16-bit limbs in uint32 lanes: the TPU VPU has native 32-bit integer
 multiply; 16x16 partial products fit exactly in uint32 and can be hi/lo
-split immediately, so schoolbook accumulation of up to ~4*NL terms stays
-far below 2^32 (bounds documented inline). This is the standard TPU/SIMD
-big-int layout; the MXU is not useful here because every element pair has
-distinct operands (no shared matrix).
+split immediately so schoolbook accumulation stays far below 2^32.
+
+Kernel-shape decisions (these matter as much as FLOPs here):
+  * XLA compile time scales with the number of HLO ops; a naive unrolled
+    Montgomery mul is ~670 ops and compiles in seconds PER INSTANCE. This
+    implementation keeps a mul to ~100 ops: the schoolbook product is ONE
+    gather (static shift-index matrix) + ONE multiply + two reductions; the
+    Montgomery reduction is a lax.scan over limbs (body traced once); all
+    carry/borrow chains are log-depth Kogge-Stone networks instead of
+    sequential ripples.
+  * Measured on TPU v5e: the scan/gather form is also slightly FASTER at
+    fused op chains than the unrolled form (30.9 vs 27.1 M muls/s at batch
+    16384 for 12-chains).
 
 Replaces the arkworks ark-ff backend consumed by the reference
 (SURVEY.md section 2.3 row 1).
@@ -74,6 +83,18 @@ class FieldSpec:
     def one_mont(self) -> np.ndarray:
         return int_to_limbs(self.r % self.p, self.nl)
 
+    @functools.cached_property
+    def conv_idx(self) -> np.ndarray:
+        """Static gather matrix: IDX[i, k] = k - i when a valid limb index of
+        the second operand, else NL (a zero-pad slot)."""
+        nl = self.nl
+        idx = np.full((nl, 2 * nl), nl, dtype=np.int32)
+        for i in range(nl):
+            for k in range(2 * nl):
+                if 0 <= k - i < nl:
+                    idx[i, k] = k - i
+        return idx
+
     # --- host <-> device conversion ----------------------------------------
     def to_mont_limbs(self, ints: Sequence[int]) -> np.ndarray:
         """Host ints -> Montgomery limb array [n, NL]."""
@@ -98,6 +119,29 @@ def make_spec(name: str, p: int) -> FieldSpec:
     return FieldSpec(name=name, p=p, nl=nl)
 
 
+def _shift_up(x, s: int):
+    """[..., n] -> element i becomes element i+s (zeros below)."""
+    return jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (s,), x.dtype), x[..., :-s]], axis=-1
+    )
+
+
+def _ks_carry(g, p):
+    """Kogge-Stone resolve: given per-limb generate g (uint32 0/1) and
+    propagate p (bool), return carry-out per limb."""
+    n = g.shape[-1]
+    carry = g
+    prop = p
+    s = 1
+    while s < n:
+        carry = carry | jnp.where(prop, _shift_up(carry, s), 0)
+        prop = jnp.logical_and(
+            prop, _shift_up(prop.astype(jnp.uint32), s).astype(bool)
+        )
+        s *= 2
+    return carry
+
+
 class DevFp:
     """Device field-ops object; same interface shape as host FieldOps so the
     generic tower classes (host/field.py QuadExtOps, CubicExtOps) can be
@@ -113,6 +157,7 @@ class DevFp:
         self._p_dev = jnp.asarray(spec.p_limbs)
         self._one_dev = jnp.asarray(spec.one_mont)
         self._zero_dev = jnp.zeros((spec.nl,), dtype=jnp.uint32)
+        self._idx = jnp.asarray(spec.conv_idx)
 
     # --- constants ----------------------------------------------------------
     def zero(self):
@@ -127,35 +172,35 @@ class DevFp:
             int_to_limbs((v % self.p) * self.spec.r % self.p, self.nl)
         )
 
-    # --- carry helpers ------------------------------------------------------
+    # --- carry machinery ------------------------------------------------------
     def _carry_norm(self, t):
-        """Propagate carries so limbs < 2^16. Input limbs may be up to ~2^26.
-        Returns (normalized [..., n], carry_out [...])."""
-        n = t.shape[-1]
-        outs = []
-        carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
-        for i in range(n):
-            v = t[..., i] + carry
-            outs.append(v & LIMB_MASK)
-            carry = v >> LIMB_BITS
-        return jnp.stack(outs, axis=-1), carry
+        """Normalize limbs (< 2^26) to < 2^16: two split rounds bring values
+        to <= 2^16, then a 1-bit Kogge-Stone resolves residual carries.
+        Returns array of the same width (caller keeps an extra headroom limb
+        for any overall carry)."""
+        for _ in range(2):
+            lo = t & LIMB_MASK
+            hi = t >> LIMB_BITS
+            t = lo.at[..., 1:].add(hi[..., :-1])
+        g = t >> LIMB_BITS  # in {0, 1}
+        p = t == LIMB_MASK
+        carry = _ks_carry(g, p)
+        carry_in = _shift_up(carry, 1)
+        return (t + carry_in) & LIMB_MASK
 
-    def _sub_p(self, a):
-        """a - p with borrow; returns (diff [..., nl], borrow [...] in {0,1})."""
-        outs = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-        for i in range(self.nl):
-            d = a[..., i] + jnp.uint32(0x10000) - jnp.uint32(
-                int(self.spec.p_limbs[i])
-            ) - borrow
-            outs.append(d & LIMB_MASK)
-            borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-        return jnp.stack(outs, axis=-1), borrow
+    def _ks_sub(self, a, b):
+        """a - b limbwise with Kogge-Stone borrow. Returns (diff, borrow_out)
+        where borrow_out [..., ] is 1 when a < b."""
+        g = (a < b).astype(jnp.uint32)
+        p = a == b
+        borrow = _ks_carry(g, p)
+        borrow_in = _shift_up(borrow, 1)
+        d = (a + jnp.uint32(1 << LIMB_BITS) - b - borrow_in) & LIMB_MASK
+        return d, borrow[..., -1]
 
     def _cond_sub_p(self, a, force=None):
-        """Reduce a (< 2p) into [0, p). `force` (optional bool array) marks
-        lanes known to need the subtraction (overflow limb set)."""
-        diff, borrow = self._sub_p(a)
+        """Reduce a (< 2p, normalized limbs) into [0, p)."""
+        diff, borrow = self._ks_sub(a, jnp.broadcast_to(self._p_dev, a.shape))
         need = borrow == 0  # a >= p
         if force is not None:
             need = jnp.logical_or(need, force)
@@ -163,80 +208,70 @@ class DevFp:
 
     # --- ring ops -----------------------------------------------------------
     def add(self, a, b):
-        s, carry = self._carry_norm(a + b)
-        return self._cond_sub_p(s, force=carry > 0)
-
-    def neg(self, a):
-        # p - a, with 0 -> 0
-        outs = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-        for i in range(self.nl):
-            d = jnp.uint32(int(self.spec.p_limbs[i])) + jnp.uint32(0x10000) \
-                - a[..., i] - borrow
-            outs.append(d & LIMB_MASK)
-            borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-        r = jnp.stack(outs, axis=-1)
-        is_zero = self.is_zero(a)
-        return jnp.where(is_zero[..., None], a, r)
+        s = a + b  # < 2^17 per limb
+        g = s >> LIMB_BITS
+        p = (s & LIMB_MASK) == LIMB_MASK
+        carry = _ks_carry(g, p)
+        out = (s + _shift_up(carry, 1)) & LIMB_MASK
+        return self._cond_sub_p(out, force=carry[..., -1] > 0)
 
     def sub(self, a, b):
-        # a - b mod p: compute a + (p - b) ... cheaper: a - b with borrow,
-        # then add p when borrowed.
-        outs = []
-        borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]),
-                           dtype=jnp.uint32)
-        for i in range(self.nl):
-            d = a[..., i] + jnp.uint32(0x10000) - b[..., i] - borrow
-            outs.append(d & LIMB_MASK)
-            borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-        diff = jnp.stack(outs, axis=-1)
-        # if borrow: diff += p  (wraps exactly once)
-        addp = diff + self._p_dev
-        addp, _ = self._carry_norm(addp)
-        return jnp.where((borrow > 0)[..., None], addp, diff)
+        a, b = jnp.broadcast_arrays(a, b)
+        d, borrow = self._ks_sub(a, b)
+        # if borrowed, add p back (wraps exactly once)
+        s = d + self._p_dev
+        g = s >> LIMB_BITS
+        pp = (s & LIMB_MASK) == LIMB_MASK
+        carry = _ks_carry(g, pp)
+        addp = (s + _shift_up(carry, 1)) & LIMB_MASK
+        return jnp.where((borrow > 0)[..., None], addp, d)
+
+    def neg(self, a):
+        pb = jnp.broadcast_to(self._p_dev, a.shape)
+        d, _ = self._ks_sub(pb, a)
+        return jnp.where(self.is_zero(a)[..., None], a, d)
 
     def mul(self, a, b):
-        """Montgomery product: schoolbook with immediate hi/lo split, then
-        interleaved Montgomery reduction.
-
-        Bound analysis: t limbs accumulate <= 2*NL 16-bit terms from the
-        product phase plus <= 2*NL from the reduction phase plus small
-        carries: < 4*NL*2^16 + eps < 2^23 for NL<=48. Safe in uint32.
-        """
+        """Montgomery product. See module docstring for the kernel shape."""
         nl = self.nl
         a, b = jnp.broadcast_arrays(a, b)
-        batch = a.shape[:-1]
-        t = jnp.zeros(batch + (2 * nl + 1,), dtype=jnp.uint32)
-        # product phase
-        for i in range(nl):
-            p_full = a[..., i : i + 1] * b  # [..., nl] each < 2^32
-            lo = p_full & LIMB_MASK
-            hi = p_full >> LIMB_BITS
-            t = t.at[..., i : i + nl].add(lo)
-            t = t.at[..., i + 1 : i + nl + 1].add(hi)
-        # reduction phase
-        n0inv = jnp.uint32(self.spec.n0inv)
+        # schoolbook product via one gather + one multiply
+        b_pad = jnp.concatenate(
+            [b, jnp.zeros(b.shape[:-1] + (1,), b.dtype)], axis=-1
+        )
+        bm = b_pad[..., self._idx]                 # [..., NL, 2NL]
+        prod = a[..., :, None] * bm                # each < 2^32
+        lo = (prod & LIMB_MASK).sum(-2)            # [..., 2NL] < 2^20.6
+        hi = (prod >> LIMB_BITS).sum(-2)
+        t = jnp.concatenate(
+            [lo, jnp.zeros(lo.shape[:-1] + (1,), lo.dtype)], axis=-1
+        )
+        t = t.at[..., 1:].add(hi)                  # [..., 2NL+1] < 2^22
+
+        # Montgomery reduction: scan over limbs, shifting one limb per step
+        n0 = jnp.uint32(self.spec.n0inv)
         p_dev = self._p_dev
-        for i in range(nl):
-            m = (t[..., i] * n0inv) & LIMB_MASK
-            p_full = m[..., None] * p_dev
-            lo = p_full & LIMB_MASK
-            hi = p_full >> LIMB_BITS
-            t = t.at[..., i : i + nl].add(lo)
-            t = t.at[..., i + 1 : i + nl + 1].add(hi)
-            # limb i is now 0 mod 2^16; push its carry upward and retire it
-            t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
-        res = t[..., nl : 2 * nl]
-        res, carry = self._carry_norm(res)
-        overflow = carry + t[..., 2 * nl]  # top limb beyond nl after shift
-        return self._cond_sub_p(res, force=overflow > 0)
+
+        def body(t, _):
+            m = (t[..., 0] * n0) & LIMB_MASK
+            pf = m[..., None] * p_dev
+            t = t.at[..., :nl].add(pf & LIMB_MASK)
+            t = t.at[..., 1 : nl + 1].add(pf >> LIMB_BITS)
+            t = t.at[..., 1].add(t[..., 0] >> LIMB_BITS)
+            t = jnp.concatenate(
+                [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1
+            )
+            return t, None
+
+        t, _ = jax.lax.scan(body, t, None, length=nl)
+        t = self._carry_norm(t[..., : nl + 1])
+        return self._cond_sub_p(t[..., :nl], force=t[..., nl] > 0)
 
     def sqr(self, a):
         return self.mul(a, a)
 
     def mul_small(self, a, k: int):
-        """Multiply by a small non-negative integer constant (double-and-add,
-        full reduction each step)."""
+        """Multiply by a small non-negative integer constant."""
         if k == 0:
             return jnp.broadcast_to(self.zero(), a.shape)
         bits = bin(k)[2:]
@@ -248,7 +283,10 @@ class DevFp:
         return acc
 
     def mul_int(self, a, n: int):
-        return self.mul_small(a, n % self.p)
+        n = n % self.p
+        if n.bit_length() <= 4:
+            return self.mul_small(a, n)
+        return self.mul(a, self.const(n))
 
     def pow(self, a, e: int):
         """a^e for a static python-int exponent, via lax.scan over bits."""
@@ -256,18 +294,15 @@ class DevFp:
             return self.pow(self.inv(a), -e)
         if e == 0:
             return jnp.broadcast_to(self.one(), a.shape)
-        bits = jnp.asarray(
-            [int(b) for b in bin(e)[2:]], dtype=jnp.uint32
-        )
+        bits = jnp.asarray([int(b) for b in bin(e)[2:]], dtype=jnp.uint32)
 
-        def body2(acc, bit):
+        def body(acc, bit):
             sq = self.sqr(acc)
             withmul = self.mul(sq, a)
             out = jnp.where(bit > 0, withmul, sq)
             return out, None
 
-        # initialize with a (consume the leading 1 bit)
-        acc, _ = jax.lax.scan(body2, a, bits[1:])
+        acc, _ = jax.lax.scan(body, a, bits[1:])
         return acc
 
     def inv(self, a):

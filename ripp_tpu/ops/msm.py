@@ -63,36 +63,45 @@ def scalars_to_digits(fr, scalars_mont, window_bits: int, nbits: int):
 
 def _segmented_scan_add(curve: DevSWCurve, pts, keys):
     """Inclusive segmented scan with point addition over axis 0.
-    keys must be sorted ascending; pts is a projective point tree [n, ...]."""
+    keys must be sorted ascending; pts is a projective point tree [n, ...].
+    lax.scan over shifts: ONE point-add instance in the jaxpr (compile time
+    scales with inlined field-mul count)."""
     n = keys.shape[0]
-    ident = curve.identity_like(pts[0])
-    s = 1
-    while s < n:
-        # shift down by s: element i combines with i-s when keys match
-        prev = jax.tree.map(lambda x: jnp.roll(x, s, axis=0), pts)
-        prev_keys = jnp.roll(keys, s, axis=0)
-        valid = jnp.arange(n) >= s
-        same = jnp.logical_and(valid, prev_keys == keys)
-        combined = curve.add(pts, prev)
-        pts = tree_select(same, combined, pts)
-        s *= 2
+    if n == 1:
+        return pts
+    steps = (n - 1).bit_length()
+    shifts = jnp.asarray([1 << s for s in range(steps)], dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(vals, shift):
+        prev = jax.tree.map(lambda x: jnp.roll(x, shift, axis=0), vals)
+        prev_keys = jnp.roll(keys, shift, axis=0)
+        same = jnp.logical_and(idx >= shift, prev_keys == keys)
+        combined = curve.add(vals, prev)
+        return tree_select(same, combined, vals), None
+
+    pts, _ = jax.lax.scan(body, pts, shifts)
     return pts
 
 
 def _suffix_weighted_sum(curve: DevSWCurve, buckets):
     """Given bucket sums S_k for k = 0..K-1 ([K, ...] tree), return
-    sum_{k>=1} k * S_k = sum_{t>=1} (sum_{k>=t} S_k)."""
+    sum_{k>=1} k * S_k = sum_{t>=1} (sum_{k>=t} S_k). One add instance per
+    scan (see _segmented_scan_add note)."""
     K = jax.tree.leaves(buckets)[0].shape[0]
     # drop bucket 0, reverse so suffix sums become prefix sums
     b = jax.tree.map(lambda x: x[1:][::-1], buckets)  # [K-1]
     n = K - 1
-    s = 1
-    while s < n:
-        prev = jax.tree.map(lambda x: jnp.roll(x, s, axis=0), b)
-        valid = jnp.arange(n) >= s
-        combined = curve.add(b, prev)
-        b = tree_select(valid, combined, b)
-        s *= 2
+    steps = (n - 1).bit_length()
+    shifts = jnp.asarray([1 << s for s in range(steps)], dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(vals, shift):
+        prev = jax.tree.map(lambda x: jnp.roll(x, shift, axis=0), vals)
+        combined = curve.add(vals, prev)
+        return tree_select(idx >= shift, combined, vals), None
+
+    b, _ = jax.lax.scan(body, b, shifts)
     # b[i] = S_{K-1} + ... + S_{K-1-i} (prefix of reversed) = suffix sums
     return curve.sum_reduce(b, axis=0)
 

@@ -49,6 +49,7 @@ class DevPairing:
         else:
             self.xi_inv = None
         self._miller_jit = jax.jit(self._miller_impl)
+        self.product_reduce = jax.jit(self.product_reduce)
 
     # ---- sparse line -> full Fp12 -------------------------------------------
     def _fp12_from_w(self, coeffs):
@@ -152,24 +153,13 @@ class DevPairing:
         return tree_select(skip, one, f)
 
     def product_reduce(self, f):
-        """Log-depth product of Fp12 batch along axis 0 -> single element."""
+        """Product of an Fp12 batch along axis 0 -> [1, ...] element (single
+        mul instance; see ops/reduce.py)."""
+        from .reduce import scan_reduce
+
         n = jax.tree.leaves(f)[0].shape[0]
-        m = 1
-        while m < n:
-            m *= 2
-        if m != n:
-            pad = self._ones_fp12((m - n,))
-            f = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=0), f, pad
-            )
-            n = m
-        while n > 1:
-            half = n // 2
-            lo = jax.tree.map(lambda x: x[:half], f)
-            hi = jax.tree.map(lambda x: x[half:], f)
-            f = self.fp12.mul(lo, hi)
-            n = half
-        return f  # [1, ...]
+        red = scan_reduce(self.fp12.mul, f, n)
+        return jax.tree.map(lambda x: x[None], red)
 
     # ---- end-to-end -----------------------------------------------------------
     def multi_pairing(self, P_proj, Q_proj):
