@@ -1,0 +1,298 @@
+"""Minimal Groth16 (R1CS setup/prove/verify) for aggregation fixtures.
+
+The reference consumes ark-groth16 externally (SURVEY.md section 2.3 last
+row): the aggregation layer only needs Proof{a,b,c} / VerifyingKey types, a
+verifier, and a way to mass-produce valid proofs. This module implements
+standard Groth16 over our host curve layer:
+
+  QAP over arbitrary distinct evaluation points (x_j = j per constraint;
+  O(m^2) Lagrange interpolation — fixture circuits are tiny), toxic waste
+  (alpha, beta, gamma, delta, x), proof randomizers (r, s).
+
+Verification equation (matches ark-groth16, so the aggregated pairing
+equation of groth16_aggregation.rs:208-228 holds):
+  e(A, B) == e(alpha, beta) * e(g_ic, gamma) * e(C, delta),
+  g_ic = sum_i input_i * gamma_abc[i].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from ..host import pairing as hp
+from ..host.curves import PairingCurve
+from ..utils.fiat_shamir import rand_field
+from ..utils.poly import poly_add, poly_scale, quotient_by_linear
+
+
+# --------------------------------------------------------------------------
+# R1CS
+# --------------------------------------------------------------------------
+
+LinComb = Dict[int, int]  # var index -> coefficient; var 0 is the constant 1
+
+
+@dataclass
+class R1CS:
+    """Constraints (A_j . z)(B_j . z) = (C_j . z) with
+    z = (1, publics..., witnesses...)."""
+
+    num_public: int   # count NOT including the leading constant 1
+    num_witness: int
+    constraints: List[Tuple[LinComb, LinComb, LinComb]] = field(
+        default_factory=list
+    )
+
+    @property
+    def num_vars(self) -> int:
+        return 1 + self.num_public + self.num_witness
+
+    def enforce(self, a: LinComb, b: LinComb, c: LinComb):
+        self.constraints.append((a, b, c))
+
+    def is_satisfied(self, z: Sequence[int], r: int) -> bool:
+        def ev(lc):
+            return sum(coeff * z[i] for i, coeff in lc.items()) % r
+
+        return all(
+            ev(a) * ev(b) % r == ev(c) for a, b, c in self.constraints
+        )
+
+
+def sum_circuit(num_inputs: int) -> R1CS:
+    """The reference example's TestCircuit
+    (benches/examples/groth16_aggregation.rs:17-40): public inputs
+    x_1..x_k and sum s, witness w; enforce s == w + sum(x_i).
+    Variables: z = (1, x_1..x_k, s, w)."""
+    cs = R1CS(num_public=num_inputs + 1, num_witness=1)
+    sum_idx = num_inputs + 1
+    wit_idx = num_inputs + 2
+    lhs: LinComb = {wit_idx: 1}
+    for i in range(1, num_inputs + 1):
+        lhs[i] = 1
+    cs.enforce(lhs, {0: 1}, {sum_idx: 1})
+    return cs
+
+
+def sum_circuit_assignment(cs: R1CS, inputs: Sequence[int], witness: int,
+                           r: int) -> List[int]:
+    s = (sum(inputs) + witness) % r
+    return [1] + [i % r for i in inputs] + [s, witness % r]
+
+
+# --------------------------------------------------------------------------
+# QAP (Lagrange over points 0..m-1)
+# --------------------------------------------------------------------------
+
+def _lagrange_basis(m: int, r: int) -> List[List[int]]:
+    """l_j(X) coefficient vectors over points 0..m-1 (O(m^2))."""
+    # t(X) = prod_j (X - j), built iteratively
+    t = [1]
+    for j in range(m):
+        nxt = [0] * (len(t) + 1)
+        for i, c in enumerate(t):
+            nxt[i] = (nxt[i] - j * c) % r
+            nxt[i + 1] = (nxt[i + 1] + c) % r
+        t = nxt
+    basis = []
+    for j in range(m):
+        num = quotient_by_linear(t, j, r)  # t(X)/(X-j)
+        denom = 1
+        for k in range(m):
+            if k != j:
+                denom = denom * (j - k) % r
+        basis.append(poly_scale(num, pow(denom, -1, r), r))
+    return basis
+
+
+def _vanishing_at(m: int, x: int, r: int) -> int:
+    acc = 1
+    for j in range(m):
+        acc = acc * (x - j) % r
+    return acc
+
+
+# --------------------------------------------------------------------------
+# keys / proof
+# --------------------------------------------------------------------------
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: Any
+    beta_g2: Any
+    gamma_g2: Any
+    delta_g2: Any
+    gamma_abc_g1: List[Any]  # length num_public + 1
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    beta_g1: Any
+    delta_g1: Any
+    a_query: List[Any]   # g^{u_i(x)}            (G1, all vars)
+    b_g1_query: List[Any]  # g^{v_i(x)}          (G1, all vars)
+    b_g2_query: List[Any]  # h^{v_i(x)}          (G2, all vars)
+    l_query: List[Any]   # g^{(beta u+alpha v+w)/delta} (G1, witness vars)
+    h_query: List[Any]   # g^{x^k t(x)/delta}    (G1, k = 0..m-2)
+
+
+@dataclass
+class Proof:
+    a: Any  # G1
+    b: Any  # G2
+    c: Any  # G1
+
+
+def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
+    r = curve.r
+    m = len(cs.constraints)
+    nv = cs.num_vars
+    alpha, beta, gamma, delta, x = (rand_field(rng, r) for _ in range(5))
+
+    basis = _lagrange_basis(m, r)
+    l_at_x = [sum(c * pow(x, i, r) for i, c in enumerate(l)) % r
+              for l in basis]
+    u = [0] * nv
+    v = [0] * nv
+    w = [0] * nv
+    for j, (a_lc, b_lc, c_lc) in enumerate(cs.constraints):
+        lj = l_at_x[j]
+        for i, coeff in a_lc.items():
+            u[i] = (u[i] + coeff * lj) % r
+        for i, coeff in b_lc.items():
+            v[i] = (v[i] + coeff * lj) % r
+        for i, coeff in c_lc.items():
+            w[i] = (w[i] + coeff * lj) % r
+
+    t_x = _vanishing_at(m, x, r)
+    g, h = curve.g1_gen, curve.g2_gen
+    g1m, g2m = curve.g1.scalar_mul, curve.g2.scalar_mul
+    gamma_inv, delta_inv = pow(gamma, -1, r), pow(delta, -1, r)
+
+    n_pub = cs.num_public + 1  # incl. constant
+    gamma_abc = [
+        g1m(g, (beta * u[i] + alpha * v[i] + w[i]) % r * gamma_inv % r)
+        for i in range(n_pub)
+    ]
+    l_query = [
+        g1m(g, (beta * u[i] + alpha * v[i] + w[i]) % r * delta_inv % r)
+        for i in range(n_pub, nv)
+    ]
+    h_query = [
+        g1m(g, pow(x, k, r) * t_x % r * delta_inv % r) for k in range(m)
+    ]
+    vk = VerifyingKey(
+        alpha_g1=g1m(g, alpha),
+        beta_g2=g2m(h, beta),
+        gamma_g2=g2m(h, gamma),
+        delta_g2=g2m(h, delta),
+        gamma_abc_g1=gamma_abc,
+    )
+    return ProvingKey(
+        vk=vk,
+        beta_g1=g1m(g, beta),
+        delta_g1=g1m(g, delta),
+        a_query=[g1m(g, u[i]) for i in range(nv)],
+        b_g1_query=[g1m(g, v[i]) for i in range(nv)],
+        b_g2_query=[g2m(h, v[i]) for i in range(nv)],
+        l_query=l_query,
+        h_query=h_query,
+    )
+
+
+def _h_coeffs(cs: R1CS, z: Sequence[int], r: int) -> List[int]:
+    """h(X) = (u(X) v(X) - w(X)) / t(X) as coefficients (O(m^2) host)."""
+    m = len(cs.constraints)
+    basis = _lagrange_basis(m, r)
+
+    def assemble(col: int) -> List[int]:
+        acc: List[int] = [0]
+        for j, cons in enumerate(cs.constraints):
+            val = sum(coeff * z[i] for i, coeff in cons[col].items()) % r
+            if val:
+                acc = poly_add(acc, poly_scale(basis[j], val, r), r)
+        return acc
+
+    up, vp, wp = assemble(0), assemble(1), assemble(2)
+    # product u*v
+    prod = [0] * (len(up) + len(vp) - 1)
+    for i, a in enumerate(up):
+        if a:
+            for j, b in enumerate(vp):
+                prod[i + j] = (prod[i + j] + a * b) % r
+    diff = poly_add(prod, poly_scale(wp, r - 1, r), r)
+    # divide by t(X) = prod (X - j): synthetic division per root
+    q = diff
+    for j in range(m):
+        q = quotient_by_linear(q, j, r)
+    return q
+
+
+def prove(curve: PairingCurve, pk: ProvingKey, cs: R1CS, z: Sequence[int],
+          rng) -> Proof:
+    r_mod = curve.r
+    assert cs.is_satisfied(z, r_mod), "unsatisfied assignment"
+    rr = rand_field(rng, r_mod)
+    ss = rand_field(rng, r_mod)
+    g1, g2 = curve.g1, curve.g2
+
+    def msm1(points, scalars):
+        acc = None
+        for p, k in zip(points, scalars):
+            if k:
+                acc = g1.add(acc, g1.scalar_mul(p, k))
+        return acc
+
+    def msm2(points, scalars):
+        acc = None
+        for p, k in zip(points, scalars):
+            if k:
+                acc = g2.add(acc, g2.scalar_mul(p, k))
+        return acc
+
+    h = _h_coeffs(cs, z, r_mod)
+
+    # A = alpha + sum z_i u_i(x) + r*delta
+    a_pt = g1.add(pk.vk.alpha_g1, msm1(pk.a_query, z))
+    a_pt = g1.add(a_pt, g1.scalar_mul(pk.delta_g1, rr))
+    # B = beta + sum z_i v_i(x) + s*delta  (G2 and G1 copies)
+    b_g2 = g2.add(pk.vk.beta_g2, g2.add(msm2(pk.b_g2_query, z),
+                                        g2.scalar_mul(pk.vk.delta_g2, ss)))
+    b_g1 = g1.add(pk.beta_g1, g1.add(msm1(pk.b_g1_query, z),
+                                     g1.scalar_mul(pk.delta_g1, ss)))
+    # C = (sum_wit z_i L_i + h(x)t(x))/delta + s*A + r*B_g1 - r*s*delta
+    n_pub = cs.num_public + 1
+    c_pt = msm1(pk.l_query, z[n_pub:])
+    c_pt = g1.add(c_pt, msm1(pk.h_query, h))
+    c_pt = g1.add(c_pt, g1.scalar_mul(a_pt, ss))
+    c_pt = g1.add(c_pt, g1.scalar_mul(b_g1, rr))
+    c_pt = g1.sub(c_pt, g1.scalar_mul(pk.delta_g1, rr * ss % r_mod))
+    return Proof(a=a_pt, b=b_g2, c=c_pt)
+
+
+def prepare_inputs(curve: PairingCurve, vk: VerifyingKey,
+                   public_inputs: Sequence[int]):
+    g1 = curve.g1
+    acc = vk.gamma_abc_g1[0]
+    for coeff, base in zip(public_inputs, vk.gamma_abc_g1[1:]):
+        if coeff:
+            acc = g1.add(acc, g1.scalar_mul(base, coeff))
+    return acc
+
+
+def verify(curve: PairingCurve, vk: VerifyingKey,
+           public_inputs: Sequence[int], proof: Proof) -> bool:
+    g_ic = prepare_inputs(curve, vk, public_inputs)
+    lhs = hp.pairing(curve, proof.a, proof.b)
+    rhs = hp.gt_mul(
+        curve,
+        hp.gt_mul(
+            curve,
+            hp.pairing(curve, vk.alpha_g1, vk.beta_g2),
+            hp.pairing(curve, g_ic, vk.gamma_g2),
+        ),
+        hp.pairing(curve, proof.c, vk.delta_g2),
+    )
+    return lhs == rhs

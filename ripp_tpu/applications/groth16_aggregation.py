@@ -1,0 +1,135 @@
+"""Groth16 proof aggregation (groth16_aggregation.rs capability).
+
+Aggregate n Groth16 proofs into one O(log n) proof: AFGHO commitments to the
+A/B/C columns (batched pairing products on device), a Fiat-Shamir challenge
+r, a TIPP proof with SRS shift on (A o r_vec, B), a MIPP-SSM proof on
+(C, r_vec), and the final aggregated pairing-product equation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Sequence
+
+from ..host import pairing as hp
+from ..models import ssm, tipa
+from ..models.algebra import HostAlg, IdentityOutput
+from ..models.instances import mipp_ssm_config, tipp_config
+from ..models.vectors import FrVec, PointVec
+from ..ops.points import DevCurveCtx
+from ..utils.fiat_shamir import blake2b_digest
+from ..utils.poly import structured_scalar_power
+from ..utils.serialize import nonce_bytes
+from .groth16 import Proof, VerifyingKey, prepare_inputs
+
+
+@dataclass
+class AggregateProof:
+    com_a: Any  # GT
+    com_b: Any
+    com_c: Any
+    ip_ab: Any  # GT
+    agg_c: Any  # host G1
+    tipa_proof_ab: tipa.TIPAProof
+    tipa_proof_c: ssm.TIPAWithSSMProof
+
+
+def setup_inner_product(ctx: DevCurveCtx, rng, size: int) -> tipa.SRS:
+    return tipa.setup_srs(ctx, rng, size)
+
+
+def _challenge_r(ctx: DevCurveCtx, com_a, com_b, com_c) -> int:
+    """Fiat-Shamir r = H(nonce || com_a || com_b || com_c)
+    (groth16_aggregation.rs:105-118)."""
+    host = ctx.host
+    gt = HostAlg(host, "gt")
+    base = gt.ser(com_a) + gt.ser(com_b) + gt.ser(com_c)
+    counter = 0
+    while True:
+        digest = blake2b_digest(nonce_bytes(counter) + base)
+        v = int.from_bytes(digest[:32], "little")
+        if v < host.r:
+            return v
+        counter += 1
+
+
+def aggregate_proofs(ctx: DevCurveCtx, ip_srs: tipa.SRS,
+                     proofs: Sequence[Proof]) -> AggregateProof:
+    host = ctx.host
+    r_mod = host.r
+    n = len(proofs)
+    cfg_ab = tipp_config(ctx)
+    cfg_c = mipp_ssm_config(ctx)
+
+    a = PointVec.from_host(ctx, "g1", [p.a for p in proofs])
+    b = PointVec.from_host(ctx, "g2", [p.b for p in proofs])
+    c = PointVec.from_host(ctx, "g1", [p.c for p in proofs])
+
+    ck_1, ck_2 = ip_srs.get_commitment_keys()
+    com_a = cfg_ab.lmc.commit(ck_1, a)
+    com_b = cfg_ab.rmc.commit(ck_2, b)
+    com_c = cfg_ab.lmc.commit(ck_1, c)
+
+    r = _challenge_r(ctx, com_a, com_b, com_c)
+    r_vec = structured_scalar_power(n, r, r_mod)
+    r_inv_vec = [pow(x, -1, r_mod) for x in r_vec]
+
+    a_r = a.hadamard_scale(FrVec.from_ints(ctx, r_vec))
+    ip_ab = cfg_ab.ip.compute(a_r, b)
+    agg_c = c.msm(FrVec.from_ints(ctx, r_vec))
+    ck_1_r = ck_1.hadamard_scale(FrVec.from_ints(ctx, r_inv_vec))
+
+    ck_t = cfg_ab.ipc.setup(None, 1)
+    tipa_proof_ab = tipa.prove_with_srs_shift(
+        cfg_ab, ip_srs, (a_r, b), (ck_1_r, ck_2, ck_t), r
+    )
+    tipa_proof_c = ssm.prove_tipa_ssm(
+        cfg_c, ip_srs, c, FrVec.from_ints(ctx, r_vec), ck_1,
+        cfg_c.ipc.setup(None, 1),
+    )
+    return AggregateProof(
+        com_a=com_a, com_b=com_b, com_c=com_c, ip_ab=ip_ab, agg_c=agg_c,
+        tipa_proof_ab=tipa_proof_ab, tipa_proof_c=tipa_proof_c,
+    )
+
+
+def verify_aggregate_proof(ctx: DevCurveCtx, v_srs: tipa.VerifierSRS,
+                           vk: VerifyingKey,
+                           public_inputs: Sequence[Sequence[int]],
+                           proof: AggregateProof) -> bool:
+    host = ctx.host
+    r_mod = host.r
+    n = len(public_inputs)
+    cfg_ab = tipp_config(ctx)
+    cfg_c = mipp_ssm_config(ctx)
+
+    r = _challenge_r(ctx, proof.com_a, proof.com_b, proof.com_c)
+
+    ab_valid = tipa.verify_with_srs_shift(
+        cfg_ab, v_srs, cfg_ab.ipc.setup(None, 1),
+        (proof.com_a, proof.com_b, IdentityOutput([proof.ip_ab], "gt")),
+        proof.tipa_proof_ab, r,
+    )
+    c_valid = ssm.verify_tipa_ssm(
+        cfg_c, v_srs, cfg_c.ipc.setup(None, 1), proof.com_c,
+        IdentityOutput([proof.agg_c], "g1"), r, proof.tipa_proof_c,
+    )
+
+    # aggregated pairing-product equation (groth16_aggregation.rs:208-228)
+    r_sum = (pow(r, n, r_mod) - 1) * pow(r - 1, -1, r_mod) % r_mod
+    p1 = hp.pairing(
+        host, host.g1.scalar_mul(vk.alpha_g1, r_sum), vk.beta_g2
+    )
+    assert len(vk.gamma_abc_g1) == len(public_inputs[0]) + 1
+    r_vec = structured_scalar_power(n, r, r_mod)
+    g_ic = host.g1.scalar_mul(vk.gamma_abc_g1[0], r_sum)
+    for i, base in enumerate(vk.gamma_abc_g1[1:]):
+        col_ip = sum(
+            public_inputs[k][i] * r_vec[k] for k in range(n)
+        ) % r_mod
+        g_ic = host.g1.add(g_ic, host.g1.scalar_mul(base, col_ip))
+    p2 = hp.pairing(host, g_ic, vk.gamma_g2)
+    p3 = hp.pairing(host, proof.agg_c, vk.delta_g2)
+    ppe_valid = proof.ip_ab == hp.gt_mul(host, hp.gt_mul(host, p1, p2), p3)
+
+    return ab_valid and c_valid and ppe_valid

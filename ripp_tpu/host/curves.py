@@ -164,6 +164,49 @@ def bls12_377() -> PairingCurve:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def bls12_toy() -> PairingCurve:
+    """Tiny BLS12-family curve (x = -34169, 89-bit p, 61-bit r) with the
+    same tower shape as BLS12-381 (beta = -1, xi = 1 + u).
+
+    Purpose: multi-device CPU-mesh tests and the driver's dryrun compile the
+    exact same kernel code paths ~20x faster - XLA compile time for the limb
+    kernels scales with limb_count^2, and the full-width Miller loop takes
+    >40 min to compile on the CPU backend. Cryptographically REAL (prime p,
+    prime r, valid sextic twist), just far too small to be secure."""
+    x = -34169
+    r = x ** 4 - x ** 2 + 1
+    p = (x - 1) ** 2 * r // 3 + x
+    tower = Tower.build(p, beta=p - 1, xi=(1, 1), name="blstoy.")
+    fp, fp2 = tower.fp, tower.fp2
+
+    h1 = (p - x) // r
+    g1 = SWCurve(fp, 0, 1, order=r, cofactor=h1, name="bls12_toy.G1")
+
+    trace = x + 1
+    # pick the sextic twist (M: b' = b*xi, D: b' = b/xi) whose order is
+    # divisible by r
+    for twist_type, b2 in (("M", fp2.mul_int((1, 1), 1)),
+                           ("D", fp2.inv((1, 1)))):
+        g2curve = SWCurve(fp2, fp2.zero(), b2, order=r, cofactor=1,
+                          name="bls12_toy.G2")
+        try:
+            h2 = _twist_cofactor(p, r, trace, g2curve)
+        except AssertionError:
+            continue
+        g2curve.cofactor = h2
+        break
+    else:
+        raise AssertionError("no valid twist found for toy curve")
+
+    g1_gen = _validated_gen(g1, None, start_x=1)
+    g2_gen = _validated_gen(g2curve, None, start_x=1)
+    return PairingCurve(
+        name="bls12_toy", tower=tower, r=r, x=x, g1=g1, g2=g2curve,
+        g1_gen=g1_gen, g2_gen=g2_gen, twist_type=twist_type,
+    )
+
+
 @dataclass
 class EmbeddedCurve:
     """A non-pairing curve embedded over some Fr (JubJub over BLS12-381 Fr)."""

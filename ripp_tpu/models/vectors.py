@@ -95,6 +95,20 @@ class FrVec:
         return self.ctx.t.fr_from_dev(prods)[0]
 
 
+def _padded_point_op(curve, pts_list, n: int, op):
+    """Run an elementwise point kernel at a batch size floored to
+    MIN_REDUCE_BATCH (identity padding), slicing the result back to n.
+    Collapses the protocols' shrinking tail rounds onto one compiled
+    executable per kernel (XLA compile time >> the wasted lanes)."""
+    from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+
+    if n >= MIN_REDUCE_BATCH:
+        return op(*pts_list)
+    padded = [pad_with_identity(curve, p, MIN_REDUCE_BATCH) for p in pts_list]
+    out = op(*padded)
+    return jax.tree.map(lambda x: x[:n], out)
+
+
 class PointVec:
     """Vector of curve points (projective limb pytree) on device."""
 
@@ -140,21 +154,40 @@ class PointVec:
         """c * self + other (elementwise, shared scalar)."""
         bits = self.ctx.scalar_bits(c % self.ctx.host.r,
                                     _nbits_for(self.ctx, c))
-        scaled = self.dcurve.scalar_mul_bits(self.pts, bits)
-        return PointVec(self.ctx, self.grp, self.dcurve.add(scaled, other.pts),
-                        self.n)
+        out = _padded_point_op(
+            self.dcurve, [self.pts, other.pts], self.n,
+            lambda a, b: self.dcurve.add(
+                self.dcurve.scalar_mul_bits(a, bits), b
+            ),
+        )
+        return PointVec(self.ctx, self.grp, out, self.n)
 
     def scale(self, c: int) -> "PointVec":
         bits = self.ctx.scalar_bits(c % self.ctx.host.r,
                                     _nbits_for(self.ctx, c))
-        return PointVec(self.ctx, self.grp,
-                        self.dcurve.scalar_mul_bits(self.pts, bits), self.n)
+        out = _padded_point_op(
+            self.dcurve, [self.pts], self.n,
+            lambda a: self.dcurve.scalar_mul_bits(a, bits),
+        )
+        return PointVec(self.ctx, self.grp, out, self.n)
 
     def hadamard_scale(self, scalars: FrVec) -> "PointVec":
-        """Per-element rescale: out_i = scalars_i * self_i (e.g. A o r_vec)."""
-        bits = self.ctx.fr_limbs_to_bits(scalars.arr)
-        return PointVec(self.ctx, self.grp,
-                        self.dcurve.scalar_mul_bits(self.pts, bits), self.n)
+        """Per-element rescale: out_i = scalars_i * self_i (e.g. A o r_vec).
+        Padding note: the bits matrix is per-element, so it pads with zero
+        rows (scalar 0) alongside identity points."""
+        from ..ops.curve import MIN_REDUCE_BATCH
+
+        arr = scalars.arr
+        if self.n < MIN_REDUCE_BATCH:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((MIN_REDUCE_BATCH - self.n,) + arr.shape[1:],
+                                arr.dtype)], axis=0)
+        bits = self.ctx.fr_limbs_to_bits(arr)
+        out = _padded_point_op(
+            self.dcurve, [self.pts], self.n,
+            lambda a: self.dcurve.scalar_mul_bits(a, bits),
+        )
+        return PointVec(self.ctx, self.grp, out, self.n)
 
     def first(self):
         from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
@@ -163,7 +196,12 @@ class PointVec:
 
     def sum(self):
         """Host point = sum of all elements."""
-        red = self.dcurve.sum_reduce(self.pts)
+        from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+
+        pts = self.pts
+        if self.n < MIN_REDUCE_BATCH:
+            pts = pad_with_identity(self.dcurve, pts, MIN_REDUCE_BATCH)
+        red = self.dcurve.sum_reduce(pts)
         from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
                     else self.ctx.g2_from_dev)
         return from_dev(jax.tree.map(lambda x: x[None], red))[0]

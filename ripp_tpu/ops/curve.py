@@ -21,6 +21,26 @@ import jax.numpy as jnp
 from .tower import tree_select
 
 
+# Reductions (MSM, multi-pairing) pad their batch up to this size so every
+# protocol tail round (n = 1, 2, 4, ...) reuses ONE compiled executable -
+# XLA compile time for the limb kernels dwarfs the wasted lanes.
+MIN_REDUCE_BATCH = 8
+
+
+def pad_with_identity(curve: "DevSWCurve", pts, m: int):
+    """Pad a projective point tree [n, ...] to [m, ...] with identity."""
+    n = jax.tree.leaves(pts)[0].shape[0]
+    if m <= n:
+        return pts
+    tail_x = jax.tree.map(
+        lambda x: jnp.zeros((m - n,) + x.shape[1:], x.dtype), pts[0]
+    )
+    ident = curve.identity_like(tail_x)
+    return jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), pts, ident
+    )
+
+
 class DevSWCurve:
     """a=0 short Weierstrass group kernels over field ops F."""
 

@@ -144,12 +144,30 @@ def _msm_windows(curve: DevSWCurve, points, digits, window_bits: int,
     return jax.lax.map(one_window, jnp.moveaxis(digits, 0, 1))
 
 
-@partial(jax.jit, static_argnames=("curve", "fr", "window_bits", "nbits"))
 def msm(curve: DevSWCurve, fr, points, scalars_mont, window_bits: int = 8,
         nbits: int = None):
     """points: projective tree [n, ...]; scalars_mont: Fr limbs [n, NL].
-    Returns a single projective point (no batch dim)."""
-    nbits = nbits or (fr.p.bit_length())
+    Returns a single projective point (no batch dim). Batches below
+    MIN_REDUCE_BATCH are padded with (identity, 0) OUTSIDE the jit boundary
+    so all protocol tail rounds share one compiled executable."""
+    from .curve import MIN_REDUCE_BATCH, pad_with_identity
+
+    n = scalars_mont.shape[0]
+    if n < MIN_REDUCE_BATCH:
+        points = pad_with_identity(curve, points, MIN_REDUCE_BATCH)
+        scalars_mont = jnp.concatenate(
+            [scalars_mont,
+             jnp.zeros((MIN_REDUCE_BATCH - n,) + scalars_mont.shape[1:],
+                       scalars_mont.dtype)],
+            axis=0,
+        )
+    return _msm_impl(curve, fr, points, scalars_mont, window_bits,
+                     nbits or fr.p.bit_length())
+
+
+@partial(jax.jit, static_argnames=("curve", "fr", "window_bits", "nbits"))
+def _msm_impl(curve: DevSWCurve, fr, points, scalars_mont, window_bits: int,
+              nbits: int):
     digits = scalars_to_digits(fr, scalars_mont, window_bits, nbits)
     windows = _msm_windows(curve, points, digits, window_bits, nbits)
     return _combine_windows(curve, windows, window_bits)
@@ -160,8 +178,11 @@ def _combine_windows(curve: DevSWCurve, windows, window_bits: int):
     n_windows = jax.tree.leaves(windows)[0].shape[0]
 
     def body(acc, w):
-        for _ in range(window_bits):
-            acc = curve.double(acc)
+        # fori_loop keeps ONE double instance in the jaxpr (vs window_bits
+        # inlined copies - XLA compile time scales with inlined field muls)
+        acc = jax.lax.fori_loop(
+            0, window_bits, lambda _, a: curve.double(a), acc
+        )
         return curve.add(acc, w), None
 
     # windows are LSB-first; combine from MSB

@@ -164,9 +164,17 @@ class DevPairing:
     # ---- end-to-end -----------------------------------------------------------
     def multi_pairing(self, P_proj, Q_proj):
         """Full pairing product of projective device batches -> host GT
-        element. Miller + product tree on device, final exp on host."""
+        element. Miller + product tree on device, final exp on host.
+        Batches below MIN_REDUCE_BATCH are padded with identity pairs
+        (Miller value 1) so all the protocols' tail rounds share one
+        compiled executable."""
         from ..host import pairing as hp
+        from .curve import MIN_REDUCE_BATCH, pad_with_identity
 
+        n = jax.tree.leaves(P_proj)[0].shape[0]
+        if n < MIN_REDUCE_BATCH:
+            P_proj = pad_with_identity(self.ctx.g1, P_proj, MIN_REDUCE_BATCH)
+            Q_proj = pad_with_identity(self.ctx.g2, Q_proj, MIN_REDUCE_BATCH)
         g1a = self.ctx.g1.normalize(P_proj)
         g2a = self.ctx.g2.normalize(Q_proj)
         f = self.miller_batch(g1a, g2a)

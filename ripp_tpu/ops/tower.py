@@ -18,7 +18,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..host.curves import PairingCurve, bls12_377, bls12_381
+from ..host.curves import PairingCurve, bls12_377, bls12_381, bls12_toy
 from ..host.field import CubicExtOps, QuadExtOps
 from .fp import DevFp, FieldSpec, make_spec
 
@@ -155,4 +155,6 @@ def dev_tower(curve_name: str) -> DevTower:
         return DevTower(bls12_381())
     if curve_name == "bls12_377":
         return DevTower(bls12_377())
+    if curve_name == "bls12_toy":
+        return DevTower(bls12_toy())
     raise ValueError(curve_name)

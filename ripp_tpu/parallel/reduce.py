@@ -1,0 +1,103 @@
+"""Mesh-sharded protocol reductions (multi-pairing, MSM, folds).
+
+Mirrors the reference's rayon chunking (`cfg_multi_pairing`,
+inner_products/src/lib.rs:77-116; `product_of_pairings_with_coeffs`,
+sipp/src/lib.rs:184-217) as shard_map kernels:
+
+  * multi-pairing: each device Miller-loops its element shard and reduces
+    the local Fq12 product; a one-element all_gather + log(ndev) product
+    replicates the global Miller value (multiplicative all-reduce over ICI).
+  * MSM: per-device Pippenger partial, then an additive EC all-reduce
+    (all_gather of ndev points + complete-formula adds).
+
+Pointwise work (folds, hadamard rescales) needs no shard_map at all — the
+kernels in ops/ are shape-polymorphic, so jit over sharded operands keeps
+them device-local with zero communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..ops.pairing import dev_pairing
+from ..ops import msm as msm_mod
+from ..ops.reduce import scan_reduce
+from .mesh import shard_tree
+
+
+def make_sharded_miller_product(ctx, mesh):
+    """Returns a jitted fn (P_proj, Q_proj) -> replicated Fp12 Miller-product
+    tree with a leading [1] axis; inputs sharded on their element axis."""
+    dp = dev_pairing(ctx)
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    def local_fn(P_proj, Q_proj):
+        g1a = ctx.g1.normalize(P_proj)
+        g2a = ctx.g2.normalize(Q_proj)
+        f = dp.miller_batch(g1a, g2a)
+        part = dp.product_reduce(f)  # [1, ...] local Fq12 partial
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), part
+        )  # [ndev, ...]
+        red = scan_reduce(dp.fp12.mul, gathered, ndev)
+        return jax.tree.map(lambda x: x[None], red)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_msm(ctx, grp, mesh):
+    """Returns a jitted fn (points_proj, scalars_mont) -> replicated single
+    projective point tree; inputs sharded on the element axis."""
+    curve = ctx.g1 if grp == "g1" else ctx.g2
+    fr = ctx.t.fr
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    def local_fn(points, scalars):
+        part = msm_mod.msm(curve, fr, points, scalars)
+        part = jax.tree.map(lambda x: x[None], part)
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), part
+        )
+        return scan_reduce(curve.add, gathered, ndev)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_multi_pairing(ctx, mesh, P_proj, Q_proj):
+    """Full sharded pairing product -> host GT element (final exp on host,
+    as in ops/pairing.py multi_pairing)."""
+    from ..host import pairing as hp
+
+    fn = make_sharded_miller_product(ctx, mesh)
+    prod = fn(shard_tree(mesh, P_proj), shard_tree(mesh, Q_proj))
+    host_f = ctx.t.fp12_from_dev(prod)[0]
+    if dev_pairing(ctx).x_neg:
+        host_f = ctx.host.tower.fp12_conj(host_f)
+    return hp.final_exponentiation(ctx.host, host_f)
+
+
+def sharded_msm_host(ctx, grp, mesh, points_proj, scalars_mont):
+    """Sharded Pippenger MSM -> host affine point."""
+    fn = make_sharded_msm(ctx, grp, mesh)
+    res = fn(shard_tree(mesh, points_proj), shard_tree(mesh, scalars_mont))
+    from_dev = ctx.g1_from_dev if grp == "g1" else ctx.g2_from_dev
+    return from_dev(jax.tree.map(lambda x: x[None], res))[0]

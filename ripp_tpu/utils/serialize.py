@@ -157,3 +157,30 @@ class CurveSerializer:
 
     def fr_vec(self, xs: Sequence[int]) -> bytes:
         return ser_vec(self.fr, xs)
+
+    # --- element sizes and deserializers (uncompressed) --------------------
+    def fr_size(self) -> int:
+        return field_nbytes(self.curve.fr)
+
+    def g1_size(self) -> int:
+        return 2 * field_nbytes(self.t.fp)
+
+    def g2_size(self) -> int:
+        return 2 * field_nbytes(self.t.fp) * 2
+
+    def gt_size(self) -> int:
+        return field_nbytes(self.t.fp) * 12
+
+    def deser_fr(self, data: bytes) -> int:
+        v = bytes_le_to_int(data)
+        assert v < self.curve.r, "non-canonical Fr"
+        return v
+
+    def deser_g1(self, data: bytes):
+        return deser_group_uncompressed(self.t.fp, self.curve.g1, data)
+
+    def deser_g2(self, data: bytes):
+        return deser_group_uncompressed(self.t.fp2, self.curve.g2, data)
+
+    def deser_gt(self, data: bytes):
+        return deser_field(self.t.fp12, data)

@@ -1,11 +1,29 @@
-"""Test configuration: force CPU JAX with an 8-device virtual mesh so
-sharding paths are exercised without TPU hardware (SURVEY.md section 4)."""
+"""Test configuration.
+
+The suite runs on whatever platform the session pins (a single real TPU
+chip under the axon plugin when available, CPU otherwise). Multi-device
+sharding coverage lives in test_parallel.py, which re-launches
+parallel_check.py in a subprocess on an 8-virtual-device CPU mesh — JAX
+platforms cannot be switched after interpreter start, and the axon
+sitecustomize hook registers its PJRT plugin at startup.
+"""
 
 import os
 
+# Only take effect when nothing pinned a platform (plain CPU boxes/CI):
+# give sharding paths 8 virtual devices.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: the limb kernels compile slowly (seconds per
+# shape instance) and protocols touch many shapes (n, n/2, ..., 1); cache
+# compiled executables across test runs/processes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

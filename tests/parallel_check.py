@@ -1,0 +1,82 @@
+"""Sharded reductions on an 8-device virtual CPU mesh vs host ground truth.
+
+Runs on the toy BLS12 parameterization (bls12_toy): identical kernel and
+collective code paths to BLS12-381, ~20x faster XLA:CPU compiles.
+
+Run as a script under JAX_PLATFORMS=cpu with
+--xla_force_host_platform_device_count=8 (see test_parallel.py, which drives
+this in a subprocess because the main test process is pinned to the real
+single-chip TPU platform).
+
+The bit-neutrality contract (SURVEY.md section 4): sharding a reduction
+across N devices must produce the IDENTICAL result as one device — folds
+and reductions are exact modular integer math.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+from ripp_tpu.host import pairing as hp  # noqa: E402
+from ripp_tpu.ops.points import dev_ctx  # noqa: E402
+from ripp_tpu.parallel import (  # noqa: E402
+    data_mesh,
+    sharded_msm_host,
+    sharded_multi_pairing,
+)
+from ripp_tpu.utils.fiat_shamir import (  # noqa: E402
+    SeededRng,
+    rand_field,
+    rand_sw_point,
+)
+
+N = 8
+
+
+def check_sharded_msm(ctx, mesh):
+    rng = SeededRng(5)
+    host = ctx.host
+    pts = [rand_sw_point(rng, host.g1) for _ in range(N)]
+    ks = [rand_field(rng, host.r) for _ in range(N)]
+    expect = None
+    for p, k in zip(pts, ks):
+        expect = host.g1.add(expect, host.g1.scalar_mul(p, k))
+    got = sharded_msm_host(
+        ctx, "g1", mesh, ctx.g1_to_dev(pts), ctx.t.fr_to_dev(ks)
+    )
+    assert host.g1.eq(got, expect), "sharded MSM != host"
+    print("sharded msm ok")
+
+
+def check_sharded_multi_pairing(ctx, mesh):
+    rng = SeededRng(6)
+    host = ctx.host
+    A = [rand_sw_point(rng, host.g1) for _ in range(N)]
+    B = [rand_sw_point(rng, host.g2) for _ in range(N)]
+    expect = None
+    for a, b in zip(A, B):
+        z = hp.pairing(host, a, b)
+        expect = z if expect is None else host.tower.fp12.mul(expect, z)
+    got = sharded_multi_pairing(ctx, mesh, ctx.g1_to_dev(A), ctx.g2_to_dev(B))
+    assert got == expect, "sharded multi-pairing != host"
+    print("sharded multi-pairing ok")
+
+
+def check_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    print("dryrun_multichip ok")
+
+
+if __name__ == "__main__":
+    assert len(jax.devices()) >= 8, jax.devices()
+    ctx = dev_ctx("bls12_toy")
+    mesh = data_mesh(jax.devices()[:8])
+    check_sharded_msm(ctx, mesh)
+    check_sharded_multi_pairing(ctx, mesh)
+    check_dryrun()
+    print("ALL PARALLEL CHECKS PASSED")

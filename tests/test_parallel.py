@@ -1,0 +1,37 @@
+"""Drive the 8-virtual-device sharding checks in a clean subprocess.
+
+The main test process runs on the session's pinned platform (one real TPU
+chip under axon, or whatever JAX_PLATFORMS says); multi-device mesh tests
+need a CPU host platform with a forced device count, and JAX platforms
+cannot be switched after initialization — hence the subprocess.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_sharded_reductions_and_dryrun():
+    env = dict(os.environ)
+    # drop the axon (single-TPU) PJRT plugin and force an 8-device CPU host
+    # platform; the sitecustomize hook only registers axon when
+    # PALLAS_AXON_POOL_IPS is non-empty
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "parallel_check.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert "ALL PARALLEL CHECKS PASSED" in proc.stdout
