@@ -23,6 +23,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 from ..utils.fiat_shamir import blake2b_digest
 from ..utils.serialize import nonce_bytes
+from ..utils.trace import scope
 from .algebra import PLACEHOLDER, HostAlg
 from .vectors import FrVec, PlaceholderVec, PointVec
 
@@ -93,24 +94,25 @@ def prove_with_aux(cfg: GIPAConfig, m_a, m_b, ck_a, ck_b, ck_t
         m_b_1, m_b_2 = m_b.lo(), m_b.hi()
         ck_b_1, ck_b_2 = ck_b.hi(), ck_b.lo()
 
-        com_1 = (
-            cfg.lmc.commit(ck_a_1, m_a_1),
-            cfg.rmc.commit(ck_b_1, m_b_1),
-            cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_1, m_b_1)]),
-        )
-        com_2 = (
-            cfg.lmc.commit(ck_a_2, m_a_2),
-            cfg.rmc.commit(ck_b_2, m_b_2),
-            cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_2, m_b_2)]),
-        )
+        with scope(f"Commit round (size {n // 2})"):  # gipa.rs:219-232
+            com_1 = (
+                cfg.lmc.commit(ck_a_1, m_a_1),
+                cfg.rmc.commit(ck_b_1, m_b_1),
+                cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_1, m_b_1)]),
+            )
+            com_2 = (
+                cfg.lmc.commit(ck_a_2, m_a_2),
+                cfg.rmc.commit(ck_b_2, m_b_2),
+                cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_2, m_b_2)]),
+            )
 
         c, c_inv = round_challenge(cfg, prev_c, com_1, com_2)
 
-        # folds (gipa.rs:261-291)
-        m_a = m_a_1.fold(m_a_2, c)
-        m_b = m_b_2.fold(m_b_1, c_inv)
-        ck_a = ck_a_2.fold(ck_a_1, c_inv)
-        ck_b = ck_b_1.fold(ck_b_2, c)
+        with scope(f"Fold round (size {n // 2})"):  # gipa.rs:261-291
+            m_a = m_a_1.fold(m_a_2, c)
+            m_b = m_b_2.fold(m_b_1, c_inv)
+            ck_a = ck_a_2.fold(ck_a_1, c_inv)
+            ck_b = ck_b_1.fold(ck_b_2, c)
 
         steps.append((com_1, com_2))
         transcript.append(c)

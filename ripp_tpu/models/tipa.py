@@ -116,17 +116,22 @@ def prove_commitment_key_kzg_opening(srs_powers: PointVec,
                                      r_shift: int, kzg_challenge: int):
     """Open the challenge polynomial at kzg_challenge; returns a host point
     (the MSM runs on device)."""
+    from ..utils.trace import scope
+
     ctx = srs_powers.ctx
     r = ctx.host.r
-    coeffs = poly_coeffs_from_transcript(transcript, r_shift, r)
-    assert len(coeffs) == srs_powers.n, (len(coeffs), srs_powers.n)
-    c_eval = poly_eval_product_form(transcript, kzg_challenge, r_shift, r)
-    # (f - f(c)) / (X - c)
-    shifted = list(coeffs)
-    shifted[0] = (shifted[0] - c_eval) % r
-    quotient = quotient_by_linear(shifted, kzg_challenge, r)
-    quotient += [0] * (srs_powers.n - len(quotient))
-    return srs_powers.msm(FrVec.from_ints(ctx, quotient))
+    with scope("Compute ck polynomial"):  # tipa/mod.rs:310-312
+        coeffs = poly_coeffs_from_transcript(transcript, r_shift, r)
+        assert len(coeffs) == srs_powers.n, (len(coeffs), srs_powers.n)
+        c_eval = poly_eval_product_form(transcript, kzg_challenge, r_shift, r)
+    with scope("Compute ck quotient polynomial"):  # tipa/mod.rs:320-327
+        # (f - f(c)) / (X - c)
+        shifted = list(coeffs)
+        shifted[0] = (shifted[0] - c_eval) % r
+        quotient = quotient_by_linear(shifted, kzg_challenge, r)
+        quotient += [0] * (srs_powers.n - len(quotient))
+    with scope("Compute opening proof"):  # tipa/mod.rs:332-335
+        return srs_powers.msm(FrVec.from_ints(ctx, quotient))
 
 
 def verify_commitment_key_g2_kzg_opening(ctx: DevCurveCtx, v_srs: VerifierSRS,

@@ -4,10 +4,11 @@ Replaces ark-ec multi_miller_loop/final_exponentiation (reference call sites
 /root/reference/inner_products/src/lib.rs:110-115, sipp/src/lib.rs:210-216).
 
 TPU-native design decisions:
-  * AFFINE Miller loop with batch-amortized inversions: slope denominators
-    for the whole pair-batch are inverted together (Montgomery trick,
-    ~6 muls/pair instead of a per-pair Fermat) - fewer FLOPs than projective
-    line formulas, and the batch dimension is exactly the multipairing size.
+  * PROJECTIVE (homogeneous) Miller loop - no inversions anywhere in the
+    loop: line coefficients are denominator-scaled by Fp2 factors that the
+    final exponentiation kills. (An earlier affine+batch-inversion variant
+    cost one Fermat ladder - a ~2|p|-step sequential scan - per Miller bit,
+    dominating both latency and XLA compile time.)
   * Per-pair Miller accumulators f_i (embarrassingly parallel); one log-depth
     Fp12 product tree at the end; the single final exponentiation happens on
     host (one element, host pow is microseconds-scale vs a device round-trip).
@@ -29,7 +30,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .batchinv import batch_inv
 from .points import DevCurveCtx
 from .tower import tree_select
 
@@ -57,70 +57,80 @@ class DevPairing:
         a0, a1, a2, a3, a4, a5 = coeffs
         return ((a0, a2, a4), (a1, a3, a5))
 
-    def _line_to_fp12(self, lam, tx, ty, xP, yP):
-        """Line through T (twist coords) with slope lam, evaluated at the
-        embedded G1 point (xP, yP in Fp, batch [n, NL]).
-
-        D-type: l = yP - lam*xP*w + (lam*tx - ty)*w^3
-        M-type: l = yP*xi + (lam*tx - ty)*w^3 - lam*xP*w^5   (scaled by xi)
-        """
+    def _line_to_fp12(self, cy, cx, c0, xP, yP):
+        """Line with Fp2 coefficients: l = cy*yP + cx*xP*w + c0*w^3 (D-type)
+        evaluated at the embedded G1 point (xP, yP in Fp, batch [n, NL]).
+        For the M-type twist the same coefficients land on w^0 (xi-scaled),
+        w^5 and w^3. Any common Fp2 scale on (cy, cx, c0) is killed by the
+        final exponentiation."""
         F, F2 = self.fp, self.fp2
         zero2 = (jnp.zeros_like(xP), jnp.zeros_like(xP))
-        lam_xP = (F.mul(lam[0], xP), F.mul(lam[1], xP))
-        neg_lam_xP = F2.neg(lam_xP)
-        c_main = F2.sub(F2.mul(lam, tx), ty)
+        cy_yP = (F.mul(cy[0], yP), F.mul(cy[1], yP))
+        cx_xP = (F.mul(cx[0], xP), F.mul(cx[1], xP))
         if self.twist == "D":
-            c0 = (yP, jnp.zeros_like(yP))
             return self._fp12_from_w(
-                [c0, neg_lam_xP, zero2, c_main, zero2, zero2]
+                [cy_yP, cx_xP, zero2, c0, zero2, zero2]
             )
-        # M-type: scale whole line by xi (killed by the final exponentiation)
-        xi = self.ctx.host.tower.xi
-        # yP * xi in Fp2
-        yP2 = (yP, jnp.zeros_like(yP))
-        c0 = self.ctx.t.mul_xi(yP2)
-        return self._fp12_from_w([c0, zero2, zero2, c_main, zero2, neg_lam_xP])
+        # M-type: scale the w^0 slot by xi (also killed by the final exp)
+        return self._fp12_from_w(
+            [self.ctx.t.mul_xi(cy_yP), zero2, zero2, c0, zero2, cx_xP]
+        )
 
     # ---- Miller loop ----------------------------------------------------------
     def _miller_impl(self, xP, yP, qx, qy):
         """Batched Miller f_{|x|,Q}(P). Inputs: xP,yP Fp limbs [n,NL];
-        qx,qy Fp2 trees (twist affine). Returns Fp12 tree [n,...]."""
+        qx,qy Fp2 trees (twist affine). Returns Fp12 tree [n,...].
+
+        INVERSION-FREE: T is kept in homogeneous projective twist
+        coordinates; line coefficients are the denominator-scaled
+        (2YZ^2, -3X^2 Z, 3X^3 - 2Y^2 Z) for doubling and
+        (lambda, -theta, theta*qx - lambda*qy) with theta = Y - qy*Z,
+        lambda = X - qx*Z for addition - the Fp2 scale factors vanish in
+        the final exponentiation. This removes the per-iteration batched
+        Fermat inversion of the affine formulation: a ~2*|p| sequential
+        scan per Miller bit that dominated both compile time and latency."""
         F2, F12 = self.fp2, self.fp12
+        g2curve = self.ctx.g2
+
+        one2 = F2.one()
+        q_proj_one = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, qx[0].shape[:-1] + x.shape[-1:]),
+            one2,
+        )
 
         def dbl(carry):
-            tx, ty, f = carry
+            (X, Y, Z), f = carry
             f = F12.sqr(f)
-            # lam = 3 tx^2 / (2 ty)
-            num = F2.mul_int(F2.sqr(tx), 3)
-            den = F2.add(ty, ty)
-            lam = F2.mul(num, batch_inv(F2, den))
-            line = self._line_to_fp12(lam, tx, ty, xP, yP)
-            f = F12.mul(f, line)
-            x3 = F2.sub(F2.sqr(lam), F2.add(tx, tx))
-            y3 = F2.sub(F2.mul(lam, F2.sub(tx, x3)), ty)
-            return (x3, y3, f)
+            X2 = F2.sqr(X)
+            Y2 = F2.sqr(Y)
+            cy = F2.mul(F2.add(Y, Y), F2.sqr(Z))            # 2 Y Z^2
+            cx = F2.neg(F2.mul(F2.mul_int(X2, 3), Z))       # -3 X^2 Z
+            c0 = F2.sub(F2.mul_int(F2.mul(X2, X), 3),       # 3X^3 - 2Y^2 Z
+                        F2.mul(F2.add(Y2, Y2), Z))
+            f = F12.mul(f, self._line_to_fp12(cy, cx, c0, xP, yP))
+            return (g2curve.double((X, Y, Z)), f)
 
         def addq(carry):
-            tx, ty, f = carry
-            num = F2.sub(qy, ty)
-            den = F2.sub(qx, tx)
-            lam = F2.mul(num, batch_inv(F2, den))
-            line = self._line_to_fp12(lam, tx, ty, xP, yP)
-            f = F12.mul(f, line)
-            x3 = F2.sub(F2.sub(F2.sqr(lam), tx), qx)
-            y3 = F2.sub(F2.mul(lam, F2.sub(tx, x3)), ty)
-            return (x3, y3, f)
+            (X, Y, Z), f = carry
+            theta = F2.sub(Y, F2.mul(qy, Z))
+            lam = F2.sub(X, F2.mul(qx, Z))
+            c0 = F2.sub(F2.mul(theta, qx), F2.mul(lam, qy))
+            f = F12.mul(f, self._line_to_fp12(lam, F2.neg(theta), c0,
+                                              xP, yP))
+            T = g2curve.add((X, Y, Z), (qx, qy, q_proj_one))
+            return (T, f)
 
         n_shape = xP.shape[:-1]
         f0 = self._ones_fp12(n_shape)
         bits = jnp.asarray(self.x_bits, dtype=jnp.uint32)
+        T0 = (qx, qy, q_proj_one)
 
         def body(carry, bit):
             carry = dbl(carry)
             carry = jax.lax.cond(bit > 0, addq, lambda c: c, carry)
             return carry, None
 
-        (tx, ty, f), _ = jax.lax.scan(body, (qx, qy, f0), bits)
+        (_, f), _ = jax.lax.scan(body, (T0, f0), bits)
         return f
 
     def _ones_fp12(self, batch_shape):

@@ -1,9 +1,14 @@
 """Device extension towers: Fp2/Fp6/Fp12 on limb arrays.
 
 Elements are pytrees (nested tuples) of uint32 limb arrays, mirroring the
-host representation exactly, and the tower algebra REUSES the host generic
-QuadExtOps/CubicExtOps classes (ripp_tpu/host/field.py) over a DevFp base -
-one source of truth for Karatsuba/Toom formulas, differential-tested anyway.
+host representation exactly. Unlike the host generic classes
+(ripp_tpu/host/field.py), the device tower uses STACKED multiplication:
+every Karatsuba sub-product of an extension mul is gathered into one
+batched base-field mul call, so a full Fp12 mul lowers to a single DevFp
+mul instance on a [3,6,3]-stacked array instead of 54 separate instances.
+This matters twice on TPU: XLA compile time scales with the number of
+inlined limb-mul subgraphs (SURVEY.md section 7.3), and one big
+multiply saturates the VPU lanes far better than 54 small ones.
 
 The non-residue multiplications are specialized per curve (e.g. BLS12-381:
 beta = -1 so u-mult is a negation; xi = 1+u so xi-mult is one add/sub pair).
@@ -31,6 +36,186 @@ def tree_select(mask, a, b):
     )
 
 
+def tree_stack(elems):
+    """Stack K same-structure elements along a new leading axis, first
+    broadcasting each leaf position to its common shape."""
+    leaves_list = [jax.tree.leaves(e) for e in elems]
+    treedef = jax.tree.structure(elems[0])
+    out = []
+    for i in range(len(leaves_list[0])):
+        arrs = [ls[i] for ls in leaves_list]
+        shape = jnp.broadcast_shapes(*(a.shape for a in arrs))
+        out.append(jnp.stack([jnp.broadcast_to(a, shape) for a in arrs]))
+    return jax.tree.unflatten(treedef, out)
+
+
+def tree_idx(tree, i):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def tree_bcast(a, b):
+    """Broadcast two same-structure trees leafwise to their common shapes
+    (numpy trailing-dim alignment breaks when one operand is an unbatched
+    constant and the other carries stack/batch axes)."""
+    def shp(x, y):
+        return jnp.broadcast_shapes(x.shape, y.shape)
+
+    sa = jax.tree.map(lambda x, y: jnp.broadcast_to(x, shp(x, y)), a, b)
+    sb = jax.tree.map(lambda x, y: jnp.broadcast_to(y, shp(x, y)), a, b)
+    return sa, sb
+
+
+class DevQuadExt:
+    """Quadratic extension over a device base field with stacked muls."""
+
+    def __init__(self, base, mul_by_nr: Callable, name: str):
+        self.base = base
+        self.mul_by_nr = mul_by_nr
+        self.name = name
+        self.p = base.p
+        self.degree = 2 * base.degree
+
+    def zero(self):
+        return (self.base.zero(), self.base.zero())
+
+    def one(self):
+        return (self.base.one(), self.base.zero())
+
+    def add(self, a, b):
+        return (self.base.add(a[0], b[0]), self.base.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.base.sub(a[0], b[0]), self.base.sub(a[1], b[1]))
+
+    def neg(self, a):
+        return (self.base.neg(a[0]), self.base.neg(a[1]))
+
+    def mul(self, a, b):
+        # Karatsuba with the three sub-products in ONE stacked base mul.
+        # Broadcast operands to common shapes BEFORE stacking: trailing-dim
+        # alignment handles (batch, NL) vs (NL), but not once the leading
+        # stack axis is added.
+        a, b = tree_bcast(a, b)
+        B = self.base
+        L = tree_stack([a[0], a[1], B.add(a[0], a[1])])
+        R = tree_stack([b[0], b[1], B.add(b[0], b[1])])
+        V = B.mul(L, R)
+        v0, v1, m = tree_idx(V, 0), tree_idx(V, 1), tree_idx(V, 2)
+        c0 = B.add(v0, self.mul_by_nr(v1))
+        c1 = B.sub(B.sub(m, v0), v1)
+        return (c0, c1)
+
+    def sqr(self, a):
+        # complex squaring, two sub-products in one stacked base mul
+        B = self.base
+        L = tree_stack([a[0], B.add(a[0], a[1])])
+        R = tree_stack([a[1], B.add(a[0], self.mul_by_nr(a[1]))])
+        V = B.mul(L, R)
+        v0, t = tree_idx(V, 0), tree_idx(V, 1)
+        c0 = B.sub(B.sub(t, v0), self.mul_by_nr(v0))
+        c1 = B.add(v0, v0)
+        return (c0, c1)
+
+    def inv(self, a):
+        B = self.base
+        norm = B.sub(B.sqr(a[0]), self.mul_by_nr(B.sqr(a[1])))
+        ninv = B.inv(norm)
+        return (B.mul(a[0], ninv), B.neg(B.mul(a[1], ninv)))
+
+    def conj(self, a):
+        return (a[0], self.base.neg(a[1]))
+
+    def scale(self, a, s):
+        return (self.base.mul(a[0], s), self.base.mul(a[1], s))
+
+    def mul_small(self, a, k: int):
+        return (self.base.mul_small(a[0], k), self.base.mul_small(a[1], k))
+
+    def mul_int(self, a, n: int):
+        return (self.base.mul_int(a[0], n), self.base.mul_int(a[1], n))
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.base.is_zero(a[0]),
+                               self.base.is_zero(a[1]))
+
+
+class DevCubicExt:
+    """Cubic extension over a device base field with stacked muls."""
+
+    def __init__(self, base, mul_by_nr: Callable, name: str):
+        self.base = base
+        self.mul_by_nr = mul_by_nr
+        self.name = name
+        self.p = base.p
+        self.degree = 3 * base.degree
+
+    def zero(self):
+        z = self.base.zero()
+        return (z, z, z)
+
+    def one(self):
+        return (self.base.one(), self.base.zero(), self.base.zero())
+
+    def add(self, a, b):
+        B = self.base
+        return (B.add(a[0], b[0]), B.add(a[1], b[1]), B.add(a[2], b[2]))
+
+    def sub(self, a, b):
+        B = self.base
+        return (B.sub(a[0], b[0]), B.sub(a[1], b[1]), B.sub(a[2], b[2]))
+
+    def neg(self, a):
+        B = self.base
+        return (B.neg(a[0]), B.neg(a[1]), B.neg(a[2]))
+
+    def mul(self, a, b):
+        # CH-SQR3 layout, six sub-products in one stacked base mul
+        a, b = tree_bcast(a, b)
+        B = self.base
+        L = tree_stack([a[0], a[1], a[2], B.add(a[0], a[1]),
+                        B.add(a[0], a[2]), B.add(a[1], a[2])])
+        R = tree_stack([b[0], b[1], b[2], B.add(b[0], b[1]),
+                        B.add(b[0], b[2]), B.add(b[1], b[2])])
+        V = B.mul(L, R)
+        v0, v1, v2 = tree_idx(V, 0), tree_idx(V, 1), tree_idx(V, 2)
+        t01, t02, t12 = tree_idx(V, 3), tree_idx(V, 4), tree_idx(V, 5)
+        c0 = B.add(v0, self.mul_by_nr(B.sub(B.sub(t12, v1), v2)))
+        c1 = B.add(B.sub(B.sub(t01, v0), v1), self.mul_by_nr(v2))
+        c2 = B.add(B.sub(B.sub(t02, v0), v2), v1)
+        return (c0, c1, c2)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def inv(self, a):
+        B = self.base
+        a0, a1, a2 = a
+        t0 = B.sub(B.sqr(a0), self.mul_by_nr(B.mul(a1, a2)))
+        t1 = B.sub(self.mul_by_nr(B.sqr(a2)), B.mul(a0, a1))
+        t2 = B.sub(B.sqr(a1), B.mul(a0, a2))
+        norm = B.add(
+            B.mul(a0, t0),
+            self.mul_by_nr(B.add(B.mul(a2, t1), B.mul(a1, t2))),
+        )
+        ninv = B.inv(norm)
+        return (B.mul(t0, ninv), B.mul(t1, ninv), B.mul(t2, ninv))
+
+    def scale(self, a, s):
+        B = self.base
+        return (B.mul(a[0], s), B.mul(a[1], s), B.mul(a[2], s))
+
+    def mul_by_x(self, a):
+        """Multiply by the extension generator v (v^3 = nr)."""
+        return (self.mul_by_nr(a[2]), a[0], a[1])
+
+    def is_zero(self, a):
+        B = self.base
+        return jnp.logical_and(
+            jnp.logical_and(B.is_zero(a[0]), B.is_zero(a[1])),
+            B.is_zero(a[2]),
+        )
+
+
 class DevTower:
     """Bundles DevFp + device fp2/fp6/fp12 ops for one pairing curve."""
 
@@ -55,7 +240,7 @@ class DevTower:
             else:
                 beta_c = fp.const(beta)
                 mul_beta = lambda a: fp.mul(a, beta_c)
-        self.fp2 = QuadExtOps(fp, mul_beta, name=curve.name + ".dev.fp2")
+        self.fp2 = DevQuadExt(fp, mul_beta, name=curve.name + ".dev.fp2")
 
         # --- xi-multiplication (Fp6/Fp12 non-residue, xi in Fp2) ------------
         xi = curve.tower.xi
@@ -75,8 +260,8 @@ class DevTower:
                 return fp2.mul(a, xi_c)
 
         self.mul_xi = mul_xi
-        self.fp6 = CubicExtOps(fp2, mul_xi, name=curve.name + ".dev.fp6")
-        self.fp12 = QuadExtOps(
+        self.fp6 = DevCubicExt(fp2, mul_xi, name=curve.name + ".dev.fp6")
+        self.fp12 = DevQuadExt(
             self.fp6, self.fp6.mul_by_x, name=curve.name + ".dev.fp12"
         )
 

@@ -123,6 +123,18 @@ def test_groth16_aggregation(ctx):
 
     aproof = agg.aggregate_proofs(ctx, srs, proofs)
     assert agg.verify_aggregate_proof(ctx, v_srs, pk.vk, publics, aproof)
+
+    # serialization round-trip: bytes -> proof -> verifies (reference gap:
+    # AggregateProof lacks serialization derives, SURVEY.md section 5.4)
+    from ripp_tpu.utils import proof_io
+
+    blob = proof_io.ser_aggregate_proof(ctx, aproof)
+    aproof2 = proof_io.deser_aggregate_proof(ctx, blob)
+    assert agg.verify_aggregate_proof(ctx, v_srs, pk.vk, publics, aproof2)
+    # SRS round-trip
+    srs2 = proof_io.deser_srs(ctx, proof_io.ser_srs(srs))
+    assert srs2.h_beta_powers.n == srs.h_beta_powers.n
+
     # tampering with the aggregated MSM must be rejected
     aproof.agg_c = host.g1.double(aproof.agg_c)
     assert not agg.verify_aggregate_proof(

@@ -21,15 +21,23 @@ def test_sharded_reductions_and_dryrun():
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_backend_optimization_level=0"
     ).strip()
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "parallel_check.py")],
         cwd=REPO,
         env=env,
         capture_output=True,
         text=True,
-        timeout=1500,
+        # cold-cache XLA:CPU compiles of the sharded Miller/Pippenger
+        # programs take tens of minutes on this VM's single core; warm
+        # .jax_cache runs take seconds
+        timeout=3600,
     )
     assert proc.returncode == 0, (
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
