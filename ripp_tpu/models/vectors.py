@@ -12,6 +12,7 @@ c * self + other, with the scalar bit-width chosen from c (the reference's
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence
 
@@ -26,7 +27,32 @@ from ..ops.tower import tree_select
 
 
 def _nbits_for(ctx: DevCurveCtx, c: int) -> int:
-    return 128 if c < (1 << 128) else ctx.host.r.bit_length()
+    rbits = ctx.host.r.bit_length()
+    return min(128, rbits) if c < (1 << 128) else rbits
+
+
+# Jitted Fr kernels (module-level so jax caches per shape): the eager forms
+# dispatched ~100 single-op XLA programs per call, which dominates
+# wall-clock on the axon TPU.
+
+@functools.partial(jax.jit, static_argnames=("fr",))
+def _fr_fold(fr, a, b, c):
+    """c * a + b elementwise."""
+    return fr.add(fr.mul(a, c), b)
+
+
+@functools.partial(jax.jit, static_argnames=("fr",))
+def _fr_mul(fr, a, b):
+    return fr.mul(a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("fr",))
+def _fr_dot(fr, a, b):
+    from ..ops.reduce import scan_reduce
+
+    prods = fr.mul(a, b)
+    red = scan_reduce(fr.add, prods, prods.shape[0])
+    return jax.tree.map(lambda x: x[None], red)
 
 
 class FrVec:
@@ -60,16 +86,18 @@ class FrVec:
         """c * self + other (elementwise)."""
         fr = self.ctx.t.fr
         cc = fr.const(c % self.ctx.host.r)
-        return FrVec(self.ctx, fr.add(fr.mul(self.arr, cc), other.arr), self.n)
+        return FrVec(self.ctx, _fr_fold(fr, self.arr, other.arr, cc), self.n)
 
     def scale(self, c: int) -> "FrVec":
         fr = self.ctx.t.fr
-        return FrVec(self.ctx, fr.mul(self.arr, fr.const(c % self.ctx.host.r)),
-                     self.n)
+        return FrVec(
+            self.ctx, _fr_mul(fr, self.arr, fr.const(c % self.ctx.host.r)),
+            self.n,
+        )
 
     def hadamard(self, other: "FrVec") -> "FrVec":
         fr = self.ctx.t.fr
-        return FrVec(self.ctx, fr.mul(self.arr, other.arr), self.n)
+        return FrVec(self.ctx, _fr_mul(fr, self.arr, other.arr), self.n)
 
     def first(self) -> int:
         return self.ctx.t.fr_from_dev(self.arr[:1])[0]
@@ -77,22 +105,8 @@ class FrVec:
     def inner_product(self, other: "FrVec") -> int:
         """Scalar inner product (device dot, host int out)."""
         fr = self.ctx.t.fr
-        prods = fr.mul(self.arr, other.arr)
-        # log-depth tree reduction with modular adds
-        n = prods.shape[0]
-        m = 1
-        while m < n:
-            m *= 2
-        if m != n:
-            prods = jnp.concatenate(
-                [prods, jnp.zeros((m - n, prods.shape[1]), prods.dtype)]
-            )
-            n = m
-        while n > 1:
-            half = n // 2
-            prods = fr.add(prods[:half], prods[half:])
-            n = half
-        return self.ctx.t.fr_from_dev(prods)[0]
+        red = _fr_dot(fr, self.arr, other.arr)
+        return self.ctx.t.fr_from_dev(red)[0]
 
 
 def _padded_point_op(curve, pts_list, n: int, op):
@@ -190,9 +204,15 @@ class PointVec:
         return PointVec(self.ctx, self.grp, out, self.n)
 
     def first(self):
+        # pad the single element up to MIN_REDUCE_BATCH so the normalize
+        # executable is shared with the bulk paths (no per-[1] compile)
+        from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+
+        one = jax.tree.map(lambda x: x[:1], self.pts)
+        padded = pad_with_identity(self.dcurve, one, MIN_REDUCE_BATCH)
         from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
                     else self.ctx.g2_from_dev)
-        return from_dev(jax.tree.map(lambda x: x[:1], self.pts))[0]
+        return from_dev(padded)[0]
 
     def sum(self):
         """Host point = sum of all elements."""
@@ -202,17 +222,24 @@ class PointVec:
         if self.n < MIN_REDUCE_BATCH:
             pts = pad_with_identity(self.dcurve, pts, MIN_REDUCE_BATCH)
         red = self.dcurve.sum_reduce(pts)
-        from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
-                    else self.ctx.g2_from_dev)
-        return from_dev(jax.tree.map(lambda x: x[None], red))[0]
+        return self._single_to_host(red)
 
     def msm(self, scalars: FrVec):
         """MSM against an Fr vector -> host point (MIPP kernel,
         inner_products/src/lib.rs:118-142 analog)."""
         res = msm_mod.msm(self.dcurve, self.ctx.t.fr, self.pts, scalars.arr)
+        return self._single_to_host(res)
+
+    def _single_to_host(self, pt):
+        """Batchless projective point tree -> host, via the shared
+        MIN_REDUCE_BATCH normalize executable."""
+        from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+
+        one = jax.tree.map(lambda x: x[None], pt)
+        padded = pad_with_identity(self.dcurve, one, MIN_REDUCE_BATCH)
         from_dev = (self.ctx.g1_from_dev if self.grp == "g1"
                     else self.ctx.g2_from_dev)
-        return from_dev(jax.tree.map(lambda x: x[None], res))[0]
+        return from_dev(padded)[0]
 
 
 class PlaceholderVec:

@@ -25,6 +25,7 @@ class DevCurveCtx:
     def __init__(self, tower: DevTower):
         self.t = tower
         self.host = tower.curve
+        self._bits_jits = {}
         c = self.host
         fp, fp2 = tower.fp, tower.fp2
 
@@ -87,18 +88,29 @@ class DevCurveCtx:
 
     def fr_limbs_to_bits(self, fr_mont, nbits: Optional[int] = None):
         """Device Fr Montgomery limbs [..., NL] -> MSB-first bits
-        [..., nbits] (device-side: demontgomerize then bit-slice)."""
+        [..., nbits] (device-side: demontgomerize then bit-slice).
+        Jitted per nbits: the eager form dispatched ~160 single-op XLA
+        programs per call, which dominates wall-clock on the axon TPU."""
         fr = self.t.fr
-        # out of Montgomery form: multiply by 1 (mont mul with R^0 = plain 1)
-        one_plain = jnp.zeros((fr.nl,), dtype=jnp.uint32).at[0].set(1)
-        canon = fr.mul(fr_mont, one_plain)
         nbits = nbits or fr.p.bit_length()
-        bits = []
-        for i in range(nbits - 1, -1, -1):
-            limb = i // LIMB_BITS
-            off = i % LIMB_BITS
-            bits.append((canon[..., limb] >> off) & 1)
-        return jnp.stack(bits, axis=-1)
+        fn = self._bits_jits.get(nbits)
+        if fn is None:
+            def impl(arr):
+                # out of Montgomery form: mont-mul by plain 1 (R^0)
+                one_plain = (
+                    jnp.zeros((fr.nl,), dtype=jnp.uint32).at[0].set(1)
+                )
+                canon = fr.mul(arr, one_plain)
+                bits = []
+                for i in range(nbits - 1, -1, -1):
+                    limb = i // LIMB_BITS
+                    off = i % LIMB_BITS
+                    bits.append((canon[..., limb] >> off) & 1)
+                return jnp.stack(bits, axis=-1)
+
+            fn = jax.jit(impl)
+            self._bits_jits[nbits] = fn
+        return fn(fr_mont)
 
 
 @functools.lru_cache(maxsize=None)
