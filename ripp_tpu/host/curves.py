@@ -251,4 +251,6 @@ def get_curve(name: str) -> PairingCurve:
         return bls12_381()
     if name in ("bls12_377", "BLS12-377"):
         return bls12_377()
+    if name in ("bls12_toy", "BLS12-toy"):
+        return bls12_toy()
     raise ValueError(f"unknown curve {name}")
