@@ -135,7 +135,7 @@ class ProvingKey:
     b_g1_query: List[Any]  # g^{v_i(x)}          (G1, all vars)
     b_g2_query: List[Any]  # h^{v_i(x)}          (G2, all vars)
     l_query: List[Any]   # g^{(beta u+alpha v+w)/delta} (G1, witness vars)
-    h_query: List[Any]   # g^{x^k t(x)/delta}    (G1, k = 0..m-2)
+    h_query: List[Any]   # g^{x^k t(x)/delta}    (G1, k = 0..m-2; deg h = m-2)
 
 
 @dataclass
@@ -180,8 +180,10 @@ def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
         g1m(g, (beta * u[i] + alpha * v[i] + w[i]) % r * delta_inv % r)
         for i in range(n_pub, nv)
     ]
+    # deg h = m - 2 (h = (u*v - w)/t with u,v of degree m-1), so k = 0..m-2
     h_query = [
-        g1m(g, pow(x, k, r) * t_x % r * delta_inv % r) for k in range(m)
+        g1m(g, pow(x, k, r) * t_x % r * delta_inv % r)
+        for k in range(max(1, m - 1))
     ]
     vk = VerifyingKey(
         alpha_g1=g1m(g, alpha),

@@ -208,6 +208,64 @@ def bls12_toy() -> PairingCurve:
 
 
 @dataclass
+class BW6Curve:
+    """BW6-761: the embedding-degree-6 outer curve for BLS12-377 (used by the
+    reference only in the one-layer-recursion benchmark,
+    /root/reference/benches/benches/groth16_aggregation/bench.rs:84-161).
+
+    Its scalar field r equals BLS12-377's BASE field p, so a SNARK over
+    BW6-761 can verify BLS12-377 pairings natively.  Both G1 and G2 live
+    over Fp directly (sextic twist of y^2 = x^3 - 1 is y^2 = x^3 + 4).
+
+    Parameters reconstructed in-image from the published Brezing-Weng
+    parameterization (El Housni-Guillevic 2020): p = p(u)/9 at the
+    BLS12-377 seed u, VERIFIED here by (a) Miller-Rabin primality of p,
+    (b) exhaustive trace search t = p+1 mod r + k*r over |t| <= 2*sqrt(p)
+    with random-point order tests -- both curves have a unique passing
+    trace and r | #E, and the cofactors satisfy the published h2 = h1 - 7.
+    Generators are derived deterministically (smallest valid x, cofactor
+    cleared); they need not match ark-bw6-761's choice (affects only
+    cross-library fixture bytes, not any protocol math).
+    """
+
+    name: str
+    u: int                 # shared BLS12-377 seed
+    r: int                 # scalar field = BLS12-377 base field p
+    fp: "FpOps"
+    fr: "FpOps"
+    g1: SWCurve
+    g2: SWCurve
+    g1_gen: Tuple
+    g2_gen: Tuple
+
+    @property
+    def p(self) -> int:
+        return self.fp.p
+
+
+@functools.lru_cache(maxsize=None)
+def bw6_761() -> BW6Curve:
+    u = 0x8508C00000000001
+    # p = (103u^12 - 379u^11 + 250u^10 + 691u^9 - 911u^8 - 79u^7 + 623u^6
+    #      - 640u^5 + 274u^4 + 763u^3 + 73u^2 + 254u + 229)/9
+    p = 0x122E824FB83CE0AD187C94004FAFF3EB926186A81D14688528275EF8087BE41707BA638E584E91903CEBAFF25B423048689C8ED12F9FD9071DCD3DC73EBFF2E98A116C25667A8F8160CF8AEEAF0A437E6913E6870000082F49D00000000008B
+    r = 0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001
+    # verified traces (unique in the Hasse interval with r | p+1-t)
+    t1 = 0x15D8F58F3501DBEC1AB2F9CB6145AEECB55FC0D440CB48F058490FB40986940170B5D44300000007467A800000000010
+    t2 = 0x219C8D79DB6552578650220E59AEAF8A6C53B679477ED1DA30F0BF021FC78C02120561205000000AE9B7C00000000017
+    h1 = (p + 1 - t1) // r
+    h2 = (p + 1 - t2) // r
+    fp = FpOps(p, name="bw6_761.Fp")
+    fr = FpOps(r, name="bw6_761.Fr")
+    g1 = SWCurve(fp, 0, p - 1, order=r, cofactor=h1, name="bw6_761.G1")
+    g2 = SWCurve(fp, 0, 4, order=r, cofactor=h2, name="bw6_761.G2")
+    g1_gen = _validated_gen(g1, None, start_x=1)
+    g2_gen = _validated_gen(g2, None, start_x=1)
+    return BW6Curve(name="bw6_761", u=u, r=r, fp=fp, fr=fr,
+                    g1=g1, g2=g2, g1_gen=g1_gen, g2_gen=g2_gen)
+
+
+@dataclass
 class EmbeddedCurve:
     """A non-pairing curve embedded over some Fr (JubJub over BLS12-381 Fr)."""
     name: str

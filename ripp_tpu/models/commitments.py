@@ -19,6 +19,7 @@ from typing import Any, List, Sequence
 from ..host import pairing as hp
 from ..ops.pairing import dev_pairing
 from ..ops.points import DevCurveCtx
+from ..errors import InnerProductError, check_same_length
 from ..utils.fiat_shamir import random_generators
 from .algebra import (
     PLACEHOLDER,
@@ -43,7 +44,7 @@ class PairingIP:
         self.ctx = ctx
 
     def compute(self, a: PointVec, b: PointVec):
-        assert len(a) == len(b), "message length mismatch"
+        check_same_length(a, b)
         return dev_pairing(self.ctx).multi_pairing(a.pts, b.pts)
 
 
@@ -56,7 +57,7 @@ class MultiexpIP:
         self.out_kind = grp
 
     def compute(self, a: PointVec, b: FrVec):
-        assert len(a) == len(b), "message length mismatch"
+        check_same_length(a, b)
         return a.msm(b)
 
 
@@ -69,7 +70,7 @@ class ScalarIP:
         self.ctx = ctx
 
     def compute(self, a: FrVec, b: FrVec):
-        assert len(a) == len(b), "message length mismatch"
+        check_same_length(a, b)
         return a.inner_product(b)
 
 
@@ -95,7 +96,7 @@ class AFGHOCommitmentG1:
         )
 
     def commit(self, keys: PointVec, msgs: PointVec):
-        assert len(keys) == len(msgs), "key/message length mismatch"
+        check_same_length(keys, msgs)
         return dev_pairing(self.ctx).multi_pairing(msgs.pts, keys.pts)
 
     def commit_single(self, key, msg):
@@ -122,7 +123,7 @@ class AFGHOCommitmentG2:
         )
 
     def commit(self, keys: PointVec, msgs: PointVec):
-        assert len(keys) == len(msgs), "key/message length mismatch"
+        check_same_length(keys, msgs)
         return dev_pairing(self.ctx).multi_pairing(keys.pts, msgs.pts)
 
     def commit_single(self, key, msg):
@@ -152,7 +153,7 @@ class PedersenCommitment:
         )
 
     def commit(self, keys: PointVec, msgs: FrVec):
-        assert len(keys) == len(msgs), "key/message length mismatch"
+        check_same_length(keys, msgs)
         return keys.msm(msgs)
 
     def commit_single(self, key, msg: int):

@@ -31,16 +31,20 @@ MAX_NL = 12
 def _build() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # Per-process temp name: concurrent builders (pytest main process +
+    # test_parallel.py subprocess on a cold checkout) must not interleave
+    # writes to one output file; os.replace keeps the publish atomic.
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     for cc in ("cc", "gcc", "g++"):
         try:
             r = subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC],
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
                 capture_output=True, timeout=120,
             )
         except (OSError, subprocess.TimeoutExpired):
             continue
         if r.returncode == 0:
-            os.replace(_SO + ".tmp", _SO)
+            os.replace(tmp, _SO)
             return _SO
     return None
 

@@ -27,6 +27,7 @@ Replaces the arkworks ark-ff backend consumed by the reference
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
@@ -37,6 +38,22 @@ import jax.numpy as jnp
 
 LIMB_BITS = 16
 LIMB_MASK = 0xFFFF
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_available() -> bool:
+    """Pallas Montgomery kernels need a real TPU backend (axon included).
+    Env override RIPP_FP_BACKEND=xla|pallas forces one path for A/B runs."""
+    forced = os.environ.get("RIPP_FP_BACKEND")
+    if forced == "xla":
+        return False
+    if forced == "pallas":
+        return True
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
 
 
 def int_to_limbs(v: int, nl: int) -> np.ndarray:
@@ -232,7 +249,23 @@ class DevFp:
         return jnp.where(self.is_zero(a)[..., None], a, d)
 
     def mul(self, a, b):
-        """Montgomery product. See module docstring for the kernel shape."""
+        """Montgomery product.
+
+        On TPU backends, batches >= MIN_PALLAS_BATCH go to the Pallas CIOS
+        kernel (ops/fp_pallas.py, ~8-20x the XLA form); everything else
+        (CPU meshes in tests, tiny batches) uses the XLA kernel below."""
+        if _pallas_available():
+            from . import fp_pallas
+
+            bshape = jnp.broadcast_shapes(a.shape, b.shape)
+            batch = int(np.prod(bshape[:-1], dtype=np.int64)) if len(bshape) > 1 else 1
+            if batch >= fp_pallas.MIN_PALLAS_BATCH:
+                return fp_pallas.fp_mul(self.spec, a, b)
+        return self._mul_xla(a, b)
+
+    def _mul_xla(self, a, b):
+        """Pure-XLA Montgomery product. See module docstring for the kernel
+        shape."""
         nl = self.nl
         a, b = jnp.broadcast_arrays(a, b)
         # schoolbook product via one gather + one multiply

@@ -57,6 +57,11 @@ def deser_field(f: FieldOps, data: bytes):
     n = f.degree
     assert len(data) == nb * n
     ints = [bytes_le_to_int(data[i * nb : (i + 1) * nb]) for i in range(n)]
+    # Canonicity: arkworks CanonicalDeserialize rejects coefficients >= p;
+    # accepting them silently (fromlist reduces mod p) would make encodings
+    # malleable for Fiat-Shamir purposes.
+    if any(c >= f.p for c in ints):
+        raise ValueError("non-canonical field element (coefficient >= p)")
     return f.fromlist(ints)
 
 
@@ -96,6 +101,11 @@ def ser_group_compressed(f: FieldOps, pt) -> bytes:
 
 
 def deser_group_uncompressed(f: FieldOps, curve, data: bytes):
+    """Deserialize an affine point with full validation: canonical
+    coordinates, on-curve, AND prime-order-subgroup membership (arkworks
+    validates all three by default; BLS12 curves have composite cofactors,
+    so skipping the subgroup check would let small-order components reach
+    the verifier's pairing checks)."""
     nb = field_nbytes(f) * f.degree
     assert len(data) == 2 * nb
     xb, yb = data[:nb], bytearray(data[nb:])
@@ -106,7 +116,10 @@ def deser_group_uncompressed(f: FieldOps, curve, data: bytes):
     x = deser_field(f, xb)
     y = deser_field(f, bytes(yb))
     pt = (x, y)
-    assert curve.is_on_curve(pt), "deserialized point not on curve"
+    if not curve.is_on_curve(pt):
+        raise ValueError("deserialized point not on curve")
+    if not curve.in_subgroup(pt):
+        raise ValueError("deserialized point not in prime-order subgroup")
     return pt
 
 
@@ -183,4 +196,10 @@ class CurveSerializer:
         return deser_group_uncompressed(self.t.fp2, self.curve.g2, data)
 
     def deser_gt(self, data: bytes):
-        return deser_field(self.t.fp12, data)
+        """Deserialize a GT element with an order-r subgroup check
+        (v^r == 1); GT is the unique order-r subgroup of Fp12^*, so
+        out-of-subgroup values cannot reach verifier pairing equations."""
+        v = deser_field(self.t.fp12, data)
+        if self.t.fp12.pow(v, self.curve.r) != self.t.fp12.one():
+            raise ValueError("deserialized GT element not in order-r subgroup")
+        return v
