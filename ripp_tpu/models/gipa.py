@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
 
+from ..errors import InnerProductArgumentError, check_power_of_two
 from ..utils.fiat_shamir import blake2b_digest
 from ..utils.serialize import nonce_bytes
 from ..utils.trace import scope
@@ -82,8 +83,11 @@ def round_challenge(cfg: GIPAConfig, prev_c: int, com_1, com_2
 def prove_with_aux(cfg: GIPAConfig, m_a, m_b, ck_a, ck_b, ck_t
                    ) -> Tuple[GIPAProof, GIPAAux]:
     n = len(m_a)
-    assert n == len(m_b) == len(ck_a) == len(ck_b)
-    assert n & (n - 1) == 0, "message length must be a power of 2"
+    if not (n == len(m_b) == len(ck_a) == len(ck_b)):
+        raise InnerProductArgumentError.message_length_invalid(
+            len(m_a), len(m_b)
+        )
+    check_power_of_two(n)
     steps = []
     transcript: List[int] = []
     prev_c = 0
@@ -134,13 +138,12 @@ def prove(cfg: GIPAConfig, values, ck, com) -> GIPAProof:
     if not cfg.ipc.out_alg.eq(
         cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a, m_b)]), com_t
     ):
-        raise ValueError("inner product does not match commitment")
-    if len(m_a) & (len(m_a) - 1):
-        raise ValueError("message length must be a power of 2")
+        raise InnerProductArgumentError.inner_product_invalid()
+    check_power_of_two(len(m_a))
     if not cfg.lmc.out_alg.eq(cfg.lmc.commit(ck_a, m_a), com_a):
-        raise ValueError("left message commitment mismatch")
+        raise InnerProductArgumentError("left message commitment mismatch")
     if not cfg.rmc.out_alg.eq(cfg.rmc.commit(ck_b, m_b), com_b):
-        raise ValueError("right message commitment mismatch")
+        raise InnerProductArgumentError("right message commitment mismatch")
     proof, _ = prove_with_aux(cfg, m_a, m_b, ck_a, ck_b, ck_t)
     return proof
 
@@ -184,18 +187,23 @@ def final_ck_exponents(r: int, transcript_reversed: Sequence[int]
 def compute_final_commitment_keys(cfg: GIPAConfig, ck_a, ck_b,
                                   transcript: Sequence[int]):
     """Verifier-side folded keys, via device MSM (vs the reference's serial
-    fold, gipa.rs:383-397)."""
-    r = cfg.ctx.host.r
-    w_a, w_b = final_ck_exponents(r, transcript)
+    fold, gipa.rs:383-397).  The challenge-product expansion itself runs
+    device-vectorized (one log(n)-step scan of batch-n muls) instead of the
+    reference's host doubling loop (gipa.rs:373-381)."""
+    from .vectors import challenge_product_vec
 
-    def contract(ck, w):
+    r = cfg.ctx.host.r
+    n = len(ck_a)
+    c_invs = [pow(c, -1, r) for c in transcript]
+
+    def contract(ck, xs):
         if isinstance(ck, PlaceholderVec):
             return PLACEHOLDER
         if isinstance(ck, PointVec):
-            return ck.msm(FrVec.from_ints(cfg.ctx, w))
+            return ck.msm(challenge_product_vec(cfg.ctx, xs, n))
         raise TypeError(type(ck))
 
-    return contract(ck_a, w_a), contract(ck_b, w_b)
+    return contract(ck_a, c_invs), contract(ck_b, list(transcript))
 
 
 def verify_base_commitment(cfg: GIPAConfig, base_ck, base_com,
@@ -212,8 +220,9 @@ def verify_base_commitment(cfg: GIPAConfig, base_ck, base_com,
 def verify(cfg: GIPAConfig, ck, com, proof: GIPAProof) -> bool:
     ck_a, ck_b, ck_t = ck
     n = len(ck_a)
-    if n & (n - 1) or n != len(ck_b):
-        raise ValueError("invalid commitment key lengths")
+    if n != len(ck_b):
+        raise InnerProductArgumentError.message_length_invalid(n, len(ck_b))
+    check_power_of_two(n)
     base_com, transcript = compute_recursive_challenges(cfg, com, proof)
     ck_a_base, ck_b_base = compute_final_commitment_keys(
         cfg, ck_a, ck_b, transcript

@@ -1,12 +1,17 @@
 """The GIPA instantiation matrix (SURVEY.md section 2.2) as config factories.
 
-| protocol   | IP        | LMC      | RMC       | IPC            |
-|------------|-----------|----------|-----------|----------------|
-| TIPP       | pairing   | AFGHO G1 | AFGHO G2  | Identity (GT)  |
-| MIPP       | multiexp  | AFGHO G1 | Pedersen  | Identity (G1)  |
-| scalar IPA | scalar    | Pedersen | Pedersen  | Identity (Fr)  |
-| MIPP-SSM   | multiexp  | AFGHO G1 | SSM       | Identity (G1)  |
-| scalar-SSM | scalar    | Pedersen | SSM       | Identity (Fr)  |
+| protocol    | IP        | LMC          | RMC          | IPC            |
+|-------------|-----------|--------------|--------------|----------------|
+| TIPP        | pairing   | AFGHO G1     | AFGHO G2     | Identity (GT)  |
+| MIPP        | multiexp  | AFGHO G1     | Pedersen G1  | Identity (G1)  |
+| scalar IPA  | scalar    | Pedersen G2  | Pedersen G2  | Identity (Fr)  |
+| scalar TIPA | scalar    | Pedersen G2  | Pedersen G1  | Identity (Fr)  |
+| MIPP-SSM    | multiexp  | AFGHO G1     | SSM          | Identity (G1)  |
+| scalar-SSM  | scalar    | Pedersen G1  | SSM          | Identity (Fr)  |
+
+TIPA-compatible configs (TIPP, MIPP, scalar TIPA) keep LMC keys in G2 and
+RMC keys in G1 -- the structured SRS's h^beta / g^alpha even powers, the
+reference's trait bound (tipa/mod.rs:130-148).
 """
 
 from __future__ import annotations
@@ -56,6 +61,21 @@ def scalar_ipa_config(ctx: DevCurveCtx) -> GIPAConfig:
         ip=ScalarIP(ctx),
         lmc=PedersenCommitment(ctx, "g2"),
         rmc=PedersenCommitment(ctx, "g2"),
+        ipc=IdentityCommitment(ctx, "fr"),
+    )
+
+
+def scalar_tipa_config(ctx: DevCurveCtx) -> GIPAConfig:
+    """Scalar IPA in the TIPA key layout: LMC keys in G2, RMC keys in G1 so
+    the structured SRS (h^beta even powers / g^alpha even powers) serves as
+    commitment keys (reference ScalarTIPA = TIPA<IP, SC2, SC1, ...>,
+    /root/reference/ip_proofs/src/tipa/mod.rs:500-526)."""
+    return GIPAConfig(
+        name="scalar_tipa",
+        ctx=ctx,
+        ip=ScalarIP(ctx),
+        lmc=PedersenCommitment(ctx, "g2"),
+        rmc=PedersenCommitment(ctx, "g1"),
         ipc=IdentityCommitment(ctx, "fr"),
     )
 

@@ -47,6 +47,44 @@ def _fr_mul(fr, a, b):
 
 
 @functools.partial(jax.jit, static_argnames=("fr",))
+def _challenge_products(fr, xs, mask):
+    """prod over the L challenge axis of (xs[j] if mask[i, j] else 1):
+    xs [L, NL] Montgomery limbs, mask [n, L] bool -> [n, NL].
+    One executable: an L-step scan of batch-n muls (replaces the host
+    Python O(n log n) doubling expansions of gipa.rs:373-381 and
+    sipp/src/lib.rs:163-171)."""
+    one = fr.one()
+
+    def body(acc, xs_j_and_col):
+        xs_j, col = xs_j_and_col
+        sel = jnp.where(col[:, None], xs_j[None, :], one[None, :])
+        return fr.mul(acc, sel), None
+
+    n = mask.shape[0]
+    acc0 = jnp.broadcast_to(one, (n,) + one.shape)
+    acc, _ = jax.lax.scan(body, acc0, (xs, jnp.moveaxis(mask, 0, 1)))
+    return acc
+
+
+def challenge_product_vec(ctx: DevCurveCtx, xs: Sequence[int], n: int,
+                          bit_of=lambda i, j: (i >> j) & 1) -> "FrVec":
+    """FrVec of w_i = prod_j xs[j]^{bit_of(i, j)} for i in 0..n-1.
+
+    Default bit order: xs[j] contributes when bit j (LSB-first) of the
+    index is set -- GIPA's final-ck expansion with the reversed transcript.
+    SIPP passes bit_of=lambda i, j: (i >> (L-1-j)) & 1 (MSB-first)."""
+    L = len(xs)
+    mask = np.zeros((n, L), dtype=bool)
+    for j in range(L):
+        for i in range(n):
+            mask[i, j] = bool(bit_of(i, j))
+    fr = ctx.t.fr
+    xs_dev = ctx.t.fr_to_dev([x % ctx.host.r for x in xs])
+    arr = _challenge_products(fr, xs_dev, jnp.asarray(mask))
+    return FrVec(ctx, arr, n)
+
+
+@functools.partial(jax.jit, static_argnames=("fr",))
 def _fr_dot(fr, a, b):
     from ..ops.reduce import scan_reduce
 

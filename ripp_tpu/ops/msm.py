@@ -144,6 +144,12 @@ def _msm_windows(curve: DevSWCurve, points, digits, window_bits: int,
     return jax.lax.map(one_window, jnp.moveaxis(digits, 0, 1))
 
 
+# Above this size the bucket-serial schedule wins (work-optimal n*W adds
+# instead of the sorted-scan's n*log(n) per window); below it the scan
+# formulation's executables are already cached by the protocol tail rounds.
+BUCKET_SERIAL_MIN = 2048
+
+
 def msm(curve: DevSWCurve, fr, points, scalars_mont, window_bits: int = 8,
         nbits: int = None):
     """points: projective tree [n, ...]; scalars_mont: Fr limbs [n, NL].
@@ -161,8 +167,77 @@ def msm(curve: DevSWCurve, fr, points, scalars_mont, window_bits: int = 8,
                        scalars_mont.dtype)],
             axis=0,
         )
+        n = MIN_REDUCE_BATCH
+    if n >= BUCKET_SERIAL_MIN:
+        return _msm_bucket_serial(curve, fr, points, scalars_mont,
+                                  window_bits, nbits or fr.p.bit_length())
     return _msm_impl(curve, fr, points, scalars_mont, window_bits,
                      nbits or fr.p.bit_length())
+
+
+@partial(jax.jit, static_argnames=("curve", "fr", "window_bits", "nbits"))
+def _msm_bucket_serial(curve: DevSWCurve, fr, points, scalars_mont,
+                       window_bits: int, nbits: int):
+    """Work-optimal Pippenger: every (window, digit) bucket accumulates its
+    own elements serially while all W*2^c buckets run in parallel lanes.
+
+    The sorted-segmented-scan formulation (_msm_windows) costs
+    W * n * log2(n) point-adds; this one costs n * W adds total -- at
+    n=2^16 that is ~16x less point work.  Schedule: sort the n*W
+    (window, digit) entries by bucket once (cheap integer sort), then a
+    lax.while_loop where step k adds element k of every bucket (a [W*2^c]
+    gather + one batched complete add).  The trip count is the MAXIMUM
+    bucket occupancy -- a traced scalar, so the executable is shape-static
+    and exact for ANY scalar distribution (adversarial distributions just
+    run more iterations).
+    """
+    n = scalars_mont.shape[0]
+    K = 1 << window_bits
+    digits = scalars_to_digits(fr, scalars_mont, window_bits, nbits)
+    W = digits.shape[1]
+    NB = W * K
+
+    # entry (w, i) at flat id w*n + i, key = w*K + digit[i, w]
+    keys_flat = (
+        jnp.moveaxis(digits, 0, 1)
+        + (jnp.arange(W, dtype=jnp.uint32) * K)[:, None]
+    ).reshape(-1)
+    order = jnp.argsort(keys_flat)
+    sorted_keys = jnp.take(keys_flat, order)
+    point_idx = (order % n).astype(jnp.int32)
+    starts = jnp.searchsorted(
+        sorted_keys, jnp.arange(NB + 1, dtype=jnp.uint32)
+    ).astype(jnp.int32)
+    lens = starts[1:] - starts[:-1]          # [NB]
+    max_len = jnp.max(lens)
+
+    first = jax.tree.map(lambda x: x[0], points[0])
+    acc0 = curve.identity_like(
+        jax.tree.map(
+            lambda x: jnp.zeros((NB,) + x.shape, x.dtype), first
+        )
+    )
+
+    def cond(state):
+        return state[0] < max_len
+
+    def body(state):
+        k, acc = state
+        pos = jnp.clip(starts[:NB] + k, 0, W * n - 1)
+        pi = jnp.take(point_idx, pos)
+        pts = _tree_take(points, pi)
+        combined = curve.add(acc, pts)
+        acc = tree_select(k < lens, combined, acc)
+        return k + 1, acc
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+
+    # [NB] -> per-window bucket axes [K, W, ...] for the weighted combine
+    buckets = jax.tree.map(
+        lambda x: jnp.moveaxis(x.reshape(W, K, *x.shape[1:]), 0, 1), acc
+    )
+    windows = _suffix_weighted_sum(curve, buckets)   # [W, ...]
+    return _combine_windows(curve, windows, window_bits)
 
 
 @partial(jax.jit, static_argnames=("curve", "fr", "window_bits", "nbits"))

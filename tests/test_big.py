@@ -1,0 +1,155 @@
+"""North-star-scale tests, gated behind RIPP_BIG_TESTS=1 (the analog of the
+reference's #[ignore]'d degree-65535 tests,
+/root/reference/ip_proofs/src/applications/poly_commit/mod.rs:389,436-439).
+
+Run manually on the TPU:
+    RIPP_BIG_TESTS=1 python -m pytest tests/test_big.py -x -q -s
+"""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RIPP_BIG_TESTS") != "1",
+    reason="big tests run manually (RIPP_BIG_TESTS=1)",
+)
+
+
+def _ctx():
+    from ripp_tpu.ops.points import dev_ctx
+
+    return dev_ctx("bls12_381")
+
+
+def test_msm_2_16():
+    """BASELINE config 2: G1 MSM at n = 2^16 on BLS12-381."""
+    import time
+
+    import jax
+
+    from ripp_tpu.models.vectors import PointVec
+    from ripp_tpu.ops import msm as msm_mod
+    from ripp_tpu.ops.fixed_base import fixed_base_msm
+    from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
+
+    ctx = _ctx()
+    host = ctx.host
+    n = 1 << 16
+    rng = SeededRng(7)
+    base = PointVec.from_host(ctx, "g1", [host.g1_gen])
+    pts = fixed_base_msm(ctx.g1, base.pts, list(range(1, n + 1)),
+                         host.r.bit_length())
+    ks = [rand_field(rng, host.r) for _ in range(n)]
+    scalars = ctx.t.fr_to_dev(ks)
+
+    out = msm_mod.msm(ctx.g1, ctx.t.fr, pts, scalars)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = msm_mod.msm(ctx.g1, ctx.t.fr, pts, scalars)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(f"\nMSM G1 2^16: {dt*1e3:.1f} ms, {n/dt:.0f} points/s")
+
+    # correctness: sum of (i+1)*k_i * G must equal (sum (i+1) k_i) * G
+    total = sum((i + 1) * k for i, k in enumerate(ks)) % host.r
+    expect = host.g1.scalar_mul(host.g1_gen, total)
+    got = PointVec(ctx, "g1",
+                   __import__("jax").tree.map(lambda x: x[None], out),
+                   1).first()
+    assert host.g1.eq(got, expect), "MSM 2^16 mismatch"
+
+
+def test_tipa_2_14():
+    """BASELINE config 3: TIPP/TIPA prove+verify at n = 2^14."""
+    import time
+
+    from ripp_tpu.models import tipa
+    from ripp_tpu.models.instances import tipp_config
+    from ripp_tpu.models.vectors import PointVec
+    from ripp_tpu.ops.fixed_base import fixed_base_msm
+    from ripp_tpu.utils.fiat_shamir import SeededRng
+
+    ctx = _ctx()
+    host = ctx.host
+    n = 1 << 14
+    rng = SeededRng(11)
+    cfg = tipp_config(ctx)
+
+    t0 = time.perf_counter()
+    srs = tipa.setup_srs(ctx, rng, n)
+    print(f"\nTIPA SRS gen 2^14: {time.perf_counter()-t0:.1f} s")
+    ck_a, ck_b = srs.get_commitment_keys()
+    ck_t = cfg.ipc.setup(rng, 1)
+    v_srs = srs.get_verifier_key()
+
+    base1 = PointVec.from_host(ctx, "g1", [host.g1_gen])
+    base2 = PointVec.from_host(ctx, "g2", [host.g2_gen])
+    m_a = PointVec(ctx, "g1", fixed_base_msm(
+        ctx.g1, base1.pts, [2 * i + 3 for i in range(n)],
+        host.r.bit_length()), n)
+    m_b = PointVec(ctx, "g2", fixed_base_msm(
+        ctx.g2, base2.pts, [3 * i + 5 for i in range(n)],
+        host.r.bit_length()), n)
+
+    t0 = time.perf_counter()
+    t = cfg.ip.compute(m_a, m_b)
+    com = (
+        cfg.lmc.commit(ck_a, m_a),
+        cfg.rmc.commit(ck_b, m_b),
+        cfg.ipc.commit(ck_t, [t]),
+    )
+    print(f"TIPA commit 2^14: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    proof = tipa.prove(cfg, srs, (m_a, m_b), (ck_a, ck_b, ck_t))
+    prove_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = tipa.verify(cfg, v_srs, ck_t, com, proof)
+    verify_s = time.perf_counter() - t0
+    print(f"TIPA 2^14: prove {prove_s:.1f} s, verify {verify_s:.1f} s")
+    assert ok
+
+
+def test_groth16_aggregation_2_12():
+    """BASELINE config 5 (reduced): end-to-end aggregation at 2^12 proofs."""
+    import time
+
+    from ripp_tpu.applications import groth16, groth16_aggregation as agg
+    from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
+
+    ctx = _ctx()
+    host = ctx.host
+    n = 1 << 12
+    rng = SeededRng(13)
+    cs = groth16.sum_circuit(4)
+    pk = groth16.setup(host, cs, rng)
+
+    t0 = time.perf_counter()
+    zs, publics = [], []
+    for _ in range(n):
+        inputs = [rand_field(rng, host.r) for _ in range(4)]
+        witness = rand_field(rng, host.r)
+        z = groth16.sum_circuit_assignment(cs, inputs, witness, host.r)
+        zs.append(z)
+        publics.append(z[1:cs.num_public + 1])
+    A, B2, C = groth16.prove_batch(ctx, pk, cs, zs, rng)
+    import jax
+
+    jax.block_until_ready(A.pts)
+    print(f"\nGroth16 prove_batch 2^12: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    srs = agg.setup_inner_product(ctx, rng, n)
+    print(f"IP SRS gen 2^12: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    aproof = agg.aggregate_proofs_vec(ctx, srs, A, B2, C)
+    agg_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = agg.verify_aggregate_proof(
+        ctx, srs.get_verifier_key(), pk.vk, publics, aproof
+    )
+    ver_s = time.perf_counter() - t0
+    print(f"aggregation 2^12: aggregate {agg_s:.1f} s, verify {ver_s:.1f} s")
+    assert ok

@@ -106,6 +106,48 @@ def test_tipa_tipp(ctx):
     assert tipa.verify(cfg, v_srs, ck_t, com, proof)
 
 
+def test_tipa_mipp(ctx):
+    """MIPP-TIPA round-trip (tipa/mod.rs:474-497
+    multiexponentiation_inner_product_test shape)."""
+    rng = SeededRng(7)
+    cfg = mipp_config(ctx)
+    srs = tipa.setup_srs(ctx, rng, TEST_SIZE)
+    ck_a, ck_b = srs.get_commitment_keys()
+    ck_t = cfg.ipc.setup(rng, 1)
+    v_srs = srs.get_verifier_key()
+    m_a, m_b = _rand_g1(ctx, rng, TEST_SIZE), _rand_fr(ctx, rng, TEST_SIZE)
+    t = cfg.ip.compute(m_a, m_b)
+    com = (
+        cfg.lmc.commit(ck_a, m_a),
+        cfg.rmc.commit(ck_b, m_b),
+        cfg.ipc.commit(ck_t, [t]),
+    )
+    proof = tipa.prove(cfg, srs, (m_a, m_b), (ck_a, ck_b, ck_t))
+    assert tipa.verify(cfg, v_srs, ck_t, com, proof)
+
+
+def test_tipa_scalar(ctx):
+    """Scalar-TIPA round-trip (tipa/mod.rs:500-526
+    scalar_inner_product_test shape: Pedersen-G2 LMC, Pedersen-G1 RMC)."""
+    from ripp_tpu.models.instances import scalar_tipa_config
+
+    rng = SeededRng(8)
+    cfg = scalar_tipa_config(ctx)
+    srs = tipa.setup_srs(ctx, rng, TEST_SIZE)
+    ck_a, ck_b = srs.get_commitment_keys()
+    ck_t = cfg.ipc.setup(rng, 1)
+    v_srs = srs.get_verifier_key()
+    m_a, m_b = _rand_fr(ctx, rng, TEST_SIZE), _rand_fr(ctx, rng, TEST_SIZE)
+    t = cfg.ip.compute(m_a, m_b)
+    com = (
+        cfg.lmc.commit(ck_a, m_a),
+        cfg.rmc.commit(ck_b, m_b),
+        cfg.ipc.commit(ck_t, [t]),
+    )
+    proof = tipa.prove(cfg, srs, (m_a, m_b), (ck_a, ck_b, ck_t))
+    assert tipa.verify(cfg, v_srs, ck_t, com, proof)
+
+
 def test_tipa_tipp_with_srs_shift(ctx):
     """tipa/mod.rs pairing_inner_product_with_srs_shift test shape."""
     rng = SeededRng(4)
@@ -181,8 +223,8 @@ def test_gipa_scalar_ssm(ctx):
 
 
 def test_sipp(ctx):
-    """sipp/src/lib.rs:232-254 shape (reduced n to keep TPU compile cheap)."""
-    n = 8
+    """sipp/src/lib.rs:232-254 shape at the reference's n=32."""
+    n = 32
     rng = SeededRng(7)
     host = ctx.host
     A = [rand_sw_point(rng, host.g1) for _ in range(n)]
