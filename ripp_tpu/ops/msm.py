@@ -232,11 +232,10 @@ def _msm_bucket_serial(curve: DevSWCurve, fr, points, scalars_mont,
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
 
-    # [NB] -> per-window bucket axes [K, W, ...] for the weighted combine
-    buckets = jax.tree.map(
-        lambda x: jnp.moveaxis(x.reshape(W, K, *x.shape[1:]), 0, 1), acc
-    )
-    windows = _suffix_weighted_sum(curve, buckets)   # [W, ...]
+    # [NB] -> [W, K, ...]; weighted bucket combine vmapped per window
+    # (_suffix_weighted_sum's select masks assume [K, ...] leaves)
+    buckets = jax.tree.map(lambda x: x.reshape(W, K, *x.shape[1:]), acc)
+    windows = jax.vmap(lambda b: _suffix_weighted_sum(curve, b))(buckets)
     return _combine_windows(curve, windows, window_bits)
 
 

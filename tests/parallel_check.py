@@ -65,6 +65,41 @@ def check_sharded_multi_pairing(ctx, mesh):
     print("sharded multi-pairing ok")
 
 
+def check_sharded_sipp_byte_identical(ctx, mesh, n=64):
+    """The protocol-level contract (SURVEY.md section 4): proving on 1
+    device and on 8 devices from the same seed must give BYTE-IDENTICAL
+    proofs (Fq12 products are exact, so sharding is bit-neutral)."""
+    from ripp_tpu.models import sipp
+    from ripp_tpu.models.vectors import FrVec, PointVec
+    from ripp_tpu.parallel import ShardedSIPP
+    from ripp_tpu.utils.serialize import CurveSerializer
+
+    rng = SeededRng(9)
+    host = ctx.host
+    A = [rand_sw_point(rng, host.g1) for _ in range(n)]
+    B = [rand_sw_point(rng, host.g2) for _ in range(n)]
+    r = [rand_field(rng, host.r) for _ in range(n)]
+    value = sipp.product_of_pairings_with_coeffs(
+        ctx,
+        PointVec.from_host(ctx, "g1", A),
+        PointVec.from_host(ctx, "g2", B),
+        FrVec.from_ints(ctx, r),
+    )
+    single = sipp.prove(ctx, A, B, r, value)
+    sharded = ShardedSIPP(ctx, mesh).prove(A, B, r, value)
+
+    s = CurveSerializer(host)
+    bytes_single = b"".join(
+        s.gt(zl) + s.gt(zr) for zl, zr in single.gt_elems
+    )
+    bytes_sharded = b"".join(
+        s.gt(zl) + s.gt(zr) for zl, zr in sharded.gt_elems
+    )
+    assert bytes_single == bytes_sharded, "sharded proof bytes diverge"
+    assert sipp.verify(ctx, A, B, r, value, sharded)
+    print(f"sharded sipp byte-identical ok (n={n})")
+
+
 def check_dryrun():
     import __graft_entry__ as ge
 
@@ -78,5 +113,6 @@ if __name__ == "__main__":
     mesh = data_mesh(jax.devices()[:8])
     check_sharded_msm(ctx, mesh)
     check_sharded_multi_pairing(ctx, mesh)
+    check_sharded_sipp_byte_identical(ctx, mesh)
     check_dryrun()
     print("ALL PARALLEL CHECKS PASSED")

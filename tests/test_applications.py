@@ -140,3 +140,35 @@ def test_groth16_aggregation(ctx):
     assert not agg.verify_aggregate_proof(
         ctx, v_srs, pk.vk, publics, aproof
     )
+
+
+def test_groth16_prove_batch(ctx):
+    """Vectorized fixture prover: device-batched proofs must verify
+    individually (spot check) and aggregate end-to-end via the
+    device-resident path."""
+    rng = SeededRng(31)
+    host = ctx.host
+    n = 8
+    num_inputs = 3
+    cs = groth16.sum_circuit(num_inputs)
+    pk = groth16.setup(host, cs, rng)
+
+    zs, publics = [], []
+    for _ in range(n):
+        inputs = [rand_field(rng, host.r) for _ in range(num_inputs)]
+        witness = rand_field(rng, host.r)
+        z = groth16.sum_circuit_assignment(cs, inputs, witness, host.r)
+        zs.append(z)
+        publics.append(z[1:cs.num_public + 1])
+
+    A, B2, C = groth16.prove_batch(ctx, pk, cs, zs, rng)
+    a_host, b_host, c_host = A.to_host(), B2.to_host(), C.to_host()
+    for j in (0, n - 1):
+        pf = groth16.Proof(a=a_host[j], b=b_host[j], c=c_host[j])
+        assert groth16.verify(host, pk.vk, publics[j], pf)
+
+    srs = agg.setup_inner_product(ctx, rng, n)
+    aproof = agg.aggregate_proofs_vec(ctx, srs, A, B2, C)
+    assert agg.verify_aggregate_proof(
+        ctx, srs.get_verifier_key(), pk.vk, publics, aproof
+    )
