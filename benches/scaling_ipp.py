@@ -50,7 +50,15 @@ def main():
             direct = time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            proof = sipp.prove(ctx, A, B, r, value)
+            if ndev > 1 and n >= 2 * ndev:
+                # mesh-resident prover (parallel/sipp.py): per-round ICI
+                # all-reduces, device-local folds; byte-identical proofs
+                from ripp_tpu.parallel import ShardedSIPP
+                from ripp_tpu.parallel.mesh import data_mesh
+
+                proof = ShardedSIPP(ctx, data_mesh()).prove(A, B, r, value)
+            else:
+                proof = sipp.prove(ctx, A, B, r, value)
             prover = time.perf_counter() - t0
 
             t0 = time.perf_counter()

@@ -93,6 +93,24 @@ def _fr_dot(fr, a, b):
     return jax.tree.map(lambda x: x[None], red)
 
 
+def _chunked_fr_op(op, arrs, n: int):
+    """Run an elementwise Fr kernel at shape-tier batch sizes (zero
+    padding; values beyond n are sliced off)."""
+    from ..ops.curve import chunk_plan
+
+    chunk, n_chunks, padded = chunk_plan(n)
+    if padded > n:
+        arrs = [jnp.concatenate(
+            [a, jnp.zeros((padded - n,) + a.shape[1:], a.dtype)], axis=0)
+            for a in arrs]
+    outs = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        outs.append(op(*[a[sl] for a in arrs]))
+    out = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=0)
+    return out[:n] if padded > n else out
+
+
 class FrVec:
     """Vector of Fr scalars: Montgomery limbs [n, NL] on device."""
 
@@ -124,41 +142,76 @@ class FrVec:
         """c * self + other (elementwise)."""
         fr = self.ctx.t.fr
         cc = fr.const(c % self.ctx.host.r)
-        return FrVec(self.ctx, _fr_fold(fr, self.arr, other.arr, cc), self.n)
+        out = _chunked_fr_op(
+            lambda a, b: _fr_fold(fr, a, b, cc), [self.arr, other.arr],
+            self.n,
+        )
+        return FrVec(self.ctx, out, self.n)
 
     def scale(self, c: int) -> "FrVec":
         fr = self.ctx.t.fr
-        return FrVec(
-            self.ctx, _fr_mul(fr, self.arr, fr.const(c % self.ctx.host.r)),
-            self.n,
+        cc = fr.const(c % self.ctx.host.r)
+        out = _chunked_fr_op(
+            lambda a: _fr_mul(fr, a, cc), [self.arr], self.n
         )
+        return FrVec(self.ctx, out, self.n)
 
     def hadamard(self, other: "FrVec") -> "FrVec":
         fr = self.ctx.t.fr
-        return FrVec(self.ctx, _fr_mul(fr, self.arr, other.arr), self.n)
+        out = _chunked_fr_op(
+            lambda a, b: _fr_mul(fr, a, b), [self.arr, other.arr], self.n
+        )
+        return FrVec(self.ctx, out, self.n)
 
     def first(self) -> int:
         return self.ctx.t.fr_from_dev(self.arr[:1])[0]
 
     def inner_product(self, other: "FrVec") -> int:
-        """Scalar inner product (device dot, host int out)."""
+        """Scalar inner product: chunked device dots, host int combine."""
+        from ..ops.curve import chunk_plan
+
         fr = self.ctx.t.fr
-        red = _fr_dot(fr, self.arr, other.arr)
-        return self.ctx.t.fr_from_dev(red)[0]
+        chunk, n_chunks, padded = chunk_plan(self.n)
+        a, b = self.arr, other.arr
+        if padded > self.n:
+            pad = lambda x: jnp.concatenate(
+                [x, jnp.zeros((padded - self.n,) + x.shape[1:], x.dtype)],
+                axis=0)
+            a, b = pad(a), pad(b)
+        total = 0
+        r = self.ctx.host.r
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            red = _fr_dot(fr, a[sl], b[sl])
+            total = (total + self.ctx.t.fr_from_dev(red)[0]) % r
+        return total
 
 
 def _padded_point_op(curve, pts_list, n: int, op):
-    """Run an elementwise point kernel at a batch size floored to
-    MIN_REDUCE_BATCH (identity padding), slicing the result back to n.
-    Collapses the protocols' shrinking tail rounds onto one compiled
-    executable per kernel (XLA compile time >> the wasted lanes)."""
-    from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+    """Run an elementwise point kernel at shape-tier batch sizes
+    (ops/curve.py CHUNK_TIERS): pad up to the smallest tier, or loop over
+    top-tier chunks, then slice back to n.  Every protocol round at every
+    size reuses at most three compiled executables per kernel (XLA
+    compile time >> the wasted lanes)."""
+    from ..ops.curve import chunk_plan, pad_with_identity
 
-    if n >= MIN_REDUCE_BATCH:
-        return op(*pts_list)
-    padded = [pad_with_identity(curve, p, MIN_REDUCE_BATCH) for p in pts_list]
-    out = op(*padded)
-    return jax.tree.map(lambda x: x[:n], out)
+    chunk, n_chunks, padded = chunk_plan(n)
+    if padded > n:
+        pts_list = [pad_with_identity(curve, p, padded) for p in pts_list]
+    if n_chunks == 1:
+        out = op(*pts_list)
+    else:
+        outs = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            outs.append(op(*[jax.tree.map(lambda x: x[sl], p)
+                             for p in pts_list]))
+        out = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs
+        )
+    if padded > n:
+        out = jax.tree.map(lambda x: x[:n], out)
+    return out
 
 
 class PointVec:
@@ -225,20 +278,28 @@ class PointVec:
 
     def hadamard_scale(self, scalars: FrVec) -> "PointVec":
         """Per-element rescale: out_i = scalars_i * self_i (e.g. A o r_vec).
-        Padding note: the bits matrix is per-element, so it pads with zero
-        rows (scalar 0) alongside identity points."""
-        from ..ops.curve import MIN_REDUCE_BATCH
+        Chunked to the shape tiers like every bulk op; the per-element bits
+        matrix pads with zero rows (scalar 0) alongside identity points."""
+        from ..ops.curve import chunk_plan, pad_with_identity
 
+        chunk, n_chunks, padded = chunk_plan(self.n)
+        pts = self.pts
         arr = scalars.arr
-        if self.n < MIN_REDUCE_BATCH:
+        if padded > self.n:
+            pts = pad_with_identity(self.dcurve, pts, padded)
             arr = jnp.concatenate(
-                [arr, jnp.zeros((MIN_REDUCE_BATCH - self.n,) + arr.shape[1:],
+                [arr, jnp.zeros((padded - self.n,) + arr.shape[1:],
                                 arr.dtype)], axis=0)
-        bits = self.ctx.fr_limbs_to_bits(arr)
-        out = _padded_point_op(
-            self.dcurve, [self.pts], self.n,
-            lambda a: self.dcurve.scalar_mul_bits(a, bits),
-        )
+        outs = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            bits = self.ctx.fr_limbs_to_bits(arr[sl])
+            outs.append(self.dcurve.scalar_mul_bits(
+                jax.tree.map(lambda x: x[sl], pts), bits))
+        out = outs[0] if n_chunks == 1 else jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        if padded > self.n:
+            out = jax.tree.map(lambda x: x[: self.n], out)
         return PointVec(self.ctx, self.grp, out, self.n)
 
     def first(self):
@@ -264,9 +325,31 @@ class PointVec:
 
     def msm(self, scalars: FrVec):
         """MSM against an Fr vector -> host point (MIPP kernel,
-        inner_products/src/lib.rs:118-142 analog)."""
-        res = msm_mod.msm(self.dcurve, self.ctx.t.fr, self.pts, scalars.arr)
-        return self._single_to_host(res)
+        inner_products/src/lib.rs:118-142 analog).
+
+        Chunked to the shape tiers: each chunk runs one of three cached
+        MSM executables; per-chunk partial points combine on host (host
+        point adds are microseconds with the native backend)."""
+        from ..ops.curve import chunk_plan
+
+        chunk, n_chunks, _ = chunk_plan(self.n)
+        if n_chunks == 1:
+            res = msm_mod.msm(self.dcurve, self.ctx.t.fr, self.pts,
+                              scalars.arr, pad_to=chunk)
+            return self._single_to_host(res)
+        hcurve = (self.ctx.host.g1 if self.grp == "g1"
+                  else self.ctx.host.g2)
+        acc = None
+        for c in range(n_chunks):
+            sl = slice(c * chunk, min((c + 1) * chunk, self.n))
+            res = msm_mod.msm(
+                self.dcurve, self.ctx.t.fr,
+                jax.tree.map(lambda x: x[sl], self.pts),
+                scalars.arr[sl], pad_to=chunk,
+            )
+            pt = self._single_to_host(res)
+            acc = pt if acc is None else hcurve.add(acc, pt)
+        return acc
 
     def _single_to_host(self, pt):
         """Batchless projective point tree -> host, via the shared

@@ -26,6 +26,23 @@ from .tower import tree_select
 # XLA compile time for the limb kernels dwarfs the wasted lanes.
 MIN_REDUCE_BATCH = 8
 
+# Shape tiers for chunked execution: every bulk op runs at one of these
+# batch sizes (pad up to the smallest tier that fits, or loop over
+# top-tier chunks).  Round-2 measurement: a 2^14 TIPP prove spent ~95% of
+# 3278 s compiling fresh executables for every halving-round size; with
+# tiers the whole protocol stack shares three executables per kernel.
+CHUNK_TIERS = (MIN_REDUCE_BATCH, 256, 2048)
+
+
+def chunk_plan(n: int):
+    """Return (chunk_size, n_chunks, padded_n) for a batch of n."""
+    for t in CHUNK_TIERS:
+        if n <= t:
+            return t, 1, t
+    top = CHUNK_TIERS[-1]
+    n_chunks = -(-n // top)
+    return top, n_chunks, n_chunks * top
+
 
 def pad_with_identity(curve: "DevSWCurve", pts, m: int):
     """Pad a projective point tree [n, ...] to [m, ...] with identity."""

@@ -99,19 +99,26 @@ def fixed_base_msm(curve: DevSWCurve, base, scalars: Sequence[int],
     """base: projective tree, batch [1]; scalars: host ints.
     Returns a projective device batch [n] of scalars[i] * base.
 
-    The output batch is padded to a MIN_REDUCE_BATCH multiple (digit 0 ->
-    identity) so repeated SRS sizes share compiled executables."""
-    from .curve import MIN_REDUCE_BATCH
+    Chunked to the shape tiers (ops/curve.py CHUNK_TIERS; digit 0 ->
+    identity padding) so every SRS/fixture size shares at most three
+    compiled eval executables."""
+    from .curve import chunk_plan
 
     n = len(scalars)
     W = (nbits + window_bits - 1) // window_bits
     base_single = jax.tree.map(lambda x: x[0], base)
     table = build_table(curve, base_single, window_bits, W)
-    pad = (-n) % MIN_REDUCE_BATCH
+    chunk, n_chunks, padded = chunk_plan(n)
     digits = scalars_to_digit_matrix(
-        list(scalars) + [0] * pad, window_bits, nbits
+        list(scalars) + [0] * (padded - n), window_bits, nbits
     )
-    out = eval_table(curve, table, jnp.asarray(digits))
-    if pad:
+    outs = []
+    for c in range(n_chunks):
+        outs.append(eval_table(
+            curve, table, jnp.asarray(digits[c * chunk:(c + 1) * chunk])
+        ))
+    out = outs[0] if n_chunks == 1 else jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    if padded > n:
         out = jax.tree.map(lambda x: x[:n], out)
     return out

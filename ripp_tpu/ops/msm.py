@@ -151,23 +151,25 @@ BUCKET_SERIAL_MIN = 2048
 
 
 def msm(curve: DevSWCurve, fr, points, scalars_mont, window_bits: int = 8,
-        nbits: int = None):
+        nbits: int = None, pad_to: int = None):
     """points: projective tree [n, ...]; scalars_mont: Fr limbs [n, NL].
-    Returns a single projective point (no batch dim). Batches below
-    MIN_REDUCE_BATCH are padded with (identity, 0) OUTSIDE the jit boundary
-    so all protocol tail rounds share one compiled executable."""
+    Returns a single projective point (no batch dim). The batch is padded
+    with (identity, 0) OUTSIDE the jit boundary up to max(pad_to,
+    MIN_REDUCE_BATCH) so callers can pin the executable shape (chunked
+    execution: PointVec.msm passes its shape tier)."""
     from .curve import MIN_REDUCE_BATCH, pad_with_identity
 
     n = scalars_mont.shape[0]
-    if n < MIN_REDUCE_BATCH:
-        points = pad_with_identity(curve, points, MIN_REDUCE_BATCH)
+    target = max(pad_to or 0, MIN_REDUCE_BATCH)
+    if n < target:
+        points = pad_with_identity(curve, points, target)
         scalars_mont = jnp.concatenate(
             [scalars_mont,
-             jnp.zeros((MIN_REDUCE_BATCH - n,) + scalars_mont.shape[1:],
+             jnp.zeros((target - n,) + scalars_mont.shape[1:],
                        scalars_mont.dtype)],
             axis=0,
         )
-        n = MIN_REDUCE_BATCH
+        n = target
     if n >= BUCKET_SERIAL_MIN:
         return _msm_bucket_serial(curve, fr, points, scalars_mont,
                                   window_bits, nbits or fr.p.bit_length())

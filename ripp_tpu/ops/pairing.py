@@ -298,22 +298,34 @@ class DevPairing:
     def multi_pairing(self, P_proj, Q_proj):
         """Full pairing product of projective device batches -> host GT
         element. Miller + product tree on device, final exp on host.
-        Batches below MIN_REDUCE_BATCH are padded with identity pairs
-        (Miller value 1) so all the protocols' tail rounds share one
-        compiled executable."""
+
+        Chunked execution (ops/curve.py CHUNK_TIERS): the batch is padded
+        to the smallest shape tier that fits, or looped over top-tier
+        chunks -- so every protocol round at every size reuses one of
+        three compiled Miller executables instead of compiling its own
+        (round-2: per-round-shape compiles were ~95% of a 2^14 TIPP
+        prove's wall clock).  Per-chunk Miller products combine on host
+        (an Fq12 mul is microseconds)."""
         from ..host import pairing as hp
-        from .curve import MIN_REDUCE_BATCH, pad_with_identity
+        from .curve import chunk_plan, pad_with_identity
 
         n = jax.tree.leaves(P_proj)[0].shape[0]
-        if n < MIN_REDUCE_BATCH:
-            P_proj = pad_with_identity(self.ctx.g1, P_proj, MIN_REDUCE_BATCH)
-            Q_proj = pad_with_identity(self.ctx.g2, Q_proj, MIN_REDUCE_BATCH)
-        g1a = self.ctx.g1.normalize(P_proj)
-        g2a = self.ctx.g2.normalize(Q_proj)
-        f = self.miller_batch(g1a, g2a)
-        prod = self.product_reduce(f)
-        host_f = self.ctx.t.fp12_from_dev(prod)[0]
+        chunk, n_chunks, padded = chunk_plan(n)
+        if padded > n:
+            P_proj = pad_with_identity(self.ctx.g1, P_proj, padded)
+            Q_proj = pad_with_identity(self.ctx.g2, Q_proj, padded)
         host = self.ctx.host
+        host_f = None
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            Pc = jax.tree.map(lambda x: x[sl], P_proj)
+            Qc = jax.tree.map(lambda x: x[sl], Q_proj)
+            g1a = self.ctx.g1.normalize(Pc)
+            g2a = self.ctx.g2.normalize(Qc)
+            f = self.miller_batch(g1a, g2a)
+            prod = self.product_reduce(f)
+            fc = self.ctx.t.fp12_from_dev(prod)[0]
+            host_f = fc if host_f is None else host.tower.fp12.mul(host_f, fc)
         if self.x_neg:
             host_f = host.tower.fp12_conj(host_f)
         return hp.final_exponentiation(host, host_f)

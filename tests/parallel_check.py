@@ -107,12 +107,38 @@ def check_dryrun():
     print("dryrun_multichip ok")
 
 
-if __name__ == "__main__":
+PHASES = ("msm", "pairing", "sipp", "dryrun")
+
+
+def _run_phase(name: str) -> None:
     assert len(jax.devices()) >= 8, jax.devices()
     ctx = dev_ctx("bls12_toy")
     mesh = data_mesh(jax.devices()[:8])
-    check_sharded_msm(ctx, mesh)
-    check_sharded_multi_pairing(ctx, mesh)
-    check_sharded_sipp_byte_identical(ctx, mesh)
-    check_dryrun()
-    print("ALL PARALLEL CHECKS PASSED")
+    if name == "msm":
+        check_sharded_msm(ctx, mesh)
+    elif name == "pairing":
+        check_sharded_multi_pairing(ctx, mesh)
+    elif name == "sipp":
+        check_sharded_sipp_byte_identical(ctx, mesh)
+    elif name == "dryrun":
+        check_dryrun()
+    else:
+        raise SystemExit(f"unknown phase {name}")
+
+
+if __name__ == "__main__":
+    import subprocess
+
+    if len(sys.argv) > 1:
+        _run_phase(sys.argv[1])
+    else:
+        # One subprocess per phase: a single XLA:CPU process accumulates
+        # tens of GB of LLVM compile residue across the big sharded
+        # modules and eventually dies with "LLVM compilation error:
+        # Cannot allocate memory" -- separate processes release it, and
+        # the persistent .jax_cache keeps warm phases fast.
+        for ph in PHASES:
+            r = subprocess.run([sys.executable, __file__, ph])
+            if r.returncode != 0:
+                raise SystemExit(f"phase {ph} failed ({r.returncode})")
+        print("ALL PARALLEL CHECKS PASSED")

@@ -20,10 +20,13 @@ def test_sharded_reductions_and_dryrun():
     # PALLAS_AXON_POOL_IPS is non-empty
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    # NOTE: --xla_backend_optimization_level=0 is deliberately NOT set:
+    # it ~halves compile time but the unoptimized LLVM modules of the big
+    # Miller programs leak tens of GB per compile (observed: OOM/segfault
+    # on a 125 GB box); default optimization stays ~6 GB RSS.
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
-        + " --xla_backend_optimization_level=0"
     ).strip()
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, ".jax_cache"))
