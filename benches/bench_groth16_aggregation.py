@@ -20,13 +20,15 @@ from __future__ import annotations
 
 import sys
 
+import struct
+
 from ripp_tpu.applications import groth16, groth16_aggregation as agg
+from ripp_tpu.applications.blake2s_circuit import build_blake2s_circuit
+from ripp_tpu.models.vectors import PointVec
 from ripp_tpu.ops.points import dev_ctx
 from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
 
 from .common import timed
-
-NUM_PUBLIC_INPUTS = 4
 
 
 def csv(trial, n, scheme, function, ms):
@@ -47,26 +49,38 @@ def main():
 
     print("trial,num_proofs,scheme,function,time", flush=True)
 
-    cs = groth16.sum_circuit(NUM_PUBLIC_INPUTS)
+    # workload: Blake2s-PRF preimage circuits (~21.5k constraints), the
+    # reference bench's circuit (bench.rs:30-75); NTT-domain QAP
+    def rand_input(k):
+        return list(struct.unpack("<8I", bytes(
+            (rand_field(rng, 256)) for _ in range(32))))
+
+    cs, z0, out0 = build_blake2s_circuit(host.r, rand_input(0))
     pk = groth16.setup(host, cs, rng)
     srs, ms = timed(agg.setup_inner_product, ctx, rng, n)
     csv(0, n, "ipa", "setup", ms)
     v_srs = srs.get_verifier_key()
 
-    # proof generation: the vectorized device prover (all proofs batched)
-    zs, publics = [], []
+    # proof generation (host prover per proof, like the reference; with
+    # gen_all=false one proof is cloned n times, bench.rs:298-302)
     n_gen = n if gen_all else 1
-    for _ in range(n_gen):
-        inputs = [rand_field(rng, host.r) for _ in range(NUM_PUBLIC_INPUTS)]
-        witness = rand_field(rng, host.r)
-        z = groth16.sum_circuit_assignment(cs, inputs, witness, host.r)
-        zs.append(z)
-        publics.append(z[1:cs.num_public + 1])
+    zs = [z0]
+    for _ in range(n_gen - 1):
+        cs_i, z_i, _ = build_blake2s_circuit(host.r, rand_input(0))
+        zs.append(z_i)
+    proofs, gen_ms = [], 0.0
+    for z in zs:
+        pf, ms = timed(groth16.prove, host, pk, cs, z, rng)
+        gen_ms += ms
+        proofs.append(pf)
+    publics = [z[1:cs.num_public + 1] for z in zs]
     if not gen_all:
-        zs = zs * n
+        proofs = proofs * n
         publics = publics * n
-    (A, B2, C), ms = timed(groth16.prove_batch, ctx, pk, cs, zs, rng)
-    csv(0, n, "single_circuit", "prove", ms)
+    csv(0, n, "single_circuit", "prove", gen_ms / n_gen)
+    A = PointVec.from_host(ctx, "g1", [p.a for p in proofs])
+    B2 = PointVec.from_host(ctx, "g2", [p.b for p in proofs])
+    C = PointVec.from_host(ctx, "g1", [p.c for p in proofs])
 
     for trial in range(trials):
         ok, ms = timed(

@@ -20,7 +20,7 @@ NUM_PUBLIC_INPUTS = 4
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     curve = sys.argv[2] if len(sys.argv) > 2 else "bls12_381"
     ctx = dev_ctx(curve)
     host = ctx.host
@@ -31,19 +31,21 @@ def main():
     srs = agg.setup_inner_product(ctx, rng, n)
     v_srs = srs.get_verifier_key()
 
-    print(f"Generating {n} Groth16 proofs...", flush=True)
+    print(f"Generating {n} Groth16 proofs (batched device prover)...",
+          flush=True)
     t0 = time.perf_counter()
-    proofs, publics = [], []
+    zs, publics = [], []
     for _ in range(n):
         inputs = [rand_field(rng, host.r) for _ in range(NUM_PUBLIC_INPUTS)]
         witness = rand_field(rng, host.r)
         z = groth16.sum_circuit_assignment(cs, inputs, witness, host.r)
-        proofs.append(groth16.prove(host, pk, cs, z, rng))
+        zs.append(z)
         publics.append(z[1:cs.num_public + 1])
+    A, B2, C = groth16.prove_batch(ctx, pk, cs, zs, rng)
     gen_ms = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
-    aproof = agg.aggregate_proofs(ctx, srs, proofs)
+    aproof = agg.aggregate_proofs_vec(ctx, srs, A, B2, C)
     agg_ms = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()

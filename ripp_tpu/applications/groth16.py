@@ -5,8 +5,9 @@ row): the aggregation layer only needs Proof{a,b,c} / VerifyingKey types, a
 verifier, and a way to mass-produce valid proofs. This module implements
 standard Groth16 over our host curve layer:
 
-  QAP over arbitrary distinct evaluation points (x_j = j per constraint;
-  O(m^2) Lagrange interpolation — fixture circuits are tiny), toxic waste
+  QAP over the radix-2 roots-of-unity domain (closed-form basis at the
+  toxic point, O(m log m) NTT-based h(X) per proof — scales to real
+  circuits like the Blake2s PRF workload), toxic waste
   (alpha, beta, gamma, delta, x), proof randomizers (r, s).
 
 Verification equation (matches ark-groth16, so the aggregated pairing
@@ -24,7 +25,6 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 from ..host import pairing as hp
 from ..host.curves import PairingCurve
 from ..utils.fiat_shamir import rand_field
-from ..utils.poly import poly_add, poly_scale, quotient_by_linear
 
 
 # --------------------------------------------------------------------------
@@ -83,40 +83,10 @@ def sum_circuit_assignment(cs: R1CS, inputs: Sequence[int], witness: int,
 
 
 # --------------------------------------------------------------------------
-# QAP (Lagrange over points 0..m-1)
+# QAP domain helpers (roots of unity; see setup docstring)
 # --------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _lagrange_basis(m: int, r: int) -> List[List[int]]:
-    """l_j(X) coefficient vectors over points 0..m-1 (O(m^2); cached per
-    circuit size so batch proving pays it once, not per proof)."""
-    # t(X) = prod_j (X - j), built iteratively
-    t = [1]
-    for j in range(m):
-        nxt = [0] * (len(t) + 1)
-        for i, c in enumerate(t):
-            nxt[i] = (nxt[i] - j * c) % r
-            nxt[i + 1] = (nxt[i + 1] + c) % r
-        t = nxt
-    basis = []
-    for j in range(m):
-        num = quotient_by_linear(t, j, r)  # t(X)/(X-j)
-        denom = 1
-        for k in range(m):
-            if k != j:
-                denom = denom * (j - k) % r
-        basis.append(poly_scale(num, pow(denom, -1, r), r))
-    return basis
 
-
-def _vanishing_at(m: int, x: int, r: int) -> int:
-    acc = 1
-    for j in range(m):
-        acc = acc * (x - j) % r
-    return acc
-
-
-# --------------------------------------------------------------------------
 # keys / proof
 # --------------------------------------------------------------------------
 
@@ -148,15 +118,38 @@ class Proof:
     c: Any  # G1
 
 
+def _domain_size(m: int) -> int:
+    n = 1
+    while n < m:
+        n <<= 1
+    return n
+
+
 def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
+    """QAP over the radix-2 roots-of-unity domain (size next_pow2(m)):
+    the Lagrange basis evaluates in closed form
+    l_j(x) = w^j (x^mh - 1) / (mh (x - w^j)) and t(x) = x^mh - 1, so setup
+    is O(m * nnz) with no O(m^2) interpolation; the per-proof h(X) uses
+    O(m log m) NTTs (utils/ntt.py)."""
+    from ..utils.ntt import root_of_unity
+
     r = curve.r
     m = len(cs.constraints)
+    mh = _domain_size(m)
     nv = cs.num_vars
     alpha, beta, gamma, delta, x = (rand_field(rng, r) for _ in range(5))
 
-    basis = _lagrange_basis(m, r)
-    l_at_x = [sum(c * pow(x, i, r) for i, c in enumerate(l)) % r
-              for l in basis]
+    omega = root_of_unity(r, mh)
+    t_x = (pow(x, mh, r) - 1) % r
+    mh_inv = pow(mh, -1, r)
+    # l_j(x) = w^j * t(x) / (mh * (x - w^j)); x is uniform so x != w^j whp
+    wj = 1
+    l_at_x = []
+    for j in range(mh):
+        l_at_x.append(
+            wj * t_x % r * mh_inv % r * pow((x - wj) % r, -1, r) % r
+        )
+        wj = wj * omega % r
     u = [0] * nv
     v = [0] * nv
     w = [0] * nv
@@ -168,8 +161,6 @@ def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
             v[i] = (v[i] + coeff * lj) % r
         for i, coeff in c_lc.items():
             w[i] = (w[i] + coeff * lj) % r
-
-    t_x = _vanishing_at(m, x, r)
     g, h = curve.g1_gen, curve.g2_gen
     g1m, g2m = curve.g1.scalar_mul, curve.g2.scalar_mul
     gamma_inv, delta_inv = pow(gamma, -1, r), pow(delta, -1, r)
@@ -183,10 +174,10 @@ def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
         g1m(g, (beta * u[i] + alpha * v[i] + w[i]) % r * delta_inv % r)
         for i in range(n_pub, nv)
     ]
-    # deg h = m - 2 (h = (u*v - w)/t with u,v of degree m-1), so k = 0..m-2
+    # deg h = mh - 2 (h = (u*v - w)/t with u,v of degree mh-1)
     h_query = [
         g1m(g, pow(x, k, r) * t_x % r * delta_inv % r)
-        for k in range(max(1, m - 1))
+        for k in range(max(1, mh - 1))
     ]
     vk = VerifyingKey(
         alpha_g1=g1m(g, alpha),
@@ -208,31 +199,46 @@ def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
 
 
 def _h_coeffs(cs: R1CS, z: Sequence[int], r: int) -> List[int]:
-    """h(X) = (u(X) v(X) - w(X)) / t(X) as coefficients (O(m^2) host)."""
+    """h(X) = (u(X) v(X) - w(X)) / t(X) via NTTs over the roots-of-unity
+    domain: interpolate u,v,w from their per-constraint values, evaluate
+    on a multiplicative coset (where t = g^mh - 1 is a nonzero constant),
+    divide pointwise, transform back.  O(m log m) host big-int work."""
+    from ..utils.ntt import coset_intt, coset_ntt, intt, root_of_unity
+
     m = len(cs.constraints)
-    basis = _lagrange_basis(m, r)
+    mh = _domain_size(m)
+    omega = root_of_unity(r, mh)
 
-    def assemble(col: int) -> List[int]:
-        acc: List[int] = [0]
+    def values(col: int) -> List[int]:
+        vals = [0] * mh
         for j, cons in enumerate(cs.constraints):
-            val = sum(coeff * z[i] for i, coeff in cons[col].items()) % r
-            if val:
-                acc = poly_add(acc, poly_scale(basis[j], val, r), r)
-        return acc
+            vals[j] = sum(
+                coeff * z[i] for i, coeff in cons[col].items()
+            ) % r
+        return vals
 
-    up, vp, wp = assemble(0), assemble(1), assemble(2)
-    # product u*v
-    prod = [0] * (len(up) + len(vp) - 1)
-    for i, a in enumerate(up):
-        if a:
-            for j, b in enumerate(vp):
-                prod[i + j] = (prod[i + j] + a * b) % r
-    diff = poly_add(prod, poly_scale(wp, r - 1, r), r)
-    # divide by t(X) = prod (X - j): synthetic division per root
-    q = diff
-    for j in range(m):
-        q = quotient_by_linear(q, j, r)
-    return q
+    uv_, vv_, wv_ = values(0), values(1), values(2)
+    if mh == 1:
+        # u*v - w is the zero polynomial (the single constraint holds)
+        return [0]
+    g = 5
+    while pow(g, mh, r) == 1:  # need a shift outside the domain
+        g += 2
+    t_coset_inv = pow((pow(g, mh, r) - 1) % r, -1, r)
+    uc = intt(uv_, omega, r)
+    vc = intt(vv_, omega, r)
+    wc = intt(wv_, omega, r)
+    ug = coset_ntt(uc, omega, g, r)
+    vg = coset_ntt(vc, omega, g, r)
+    wg = coset_ntt(wc, omega, g, r)
+    hg = [(a * b - c) % r * t_coset_inv % r
+          for a, b, c in zip(ug, vg, wg)]
+    h = coset_intt(hg, omega, g, r)
+    # deg h = mh - 2: u*v has degree 2mh-2 but we only computed it modulo
+    # (X^mh - g^mh ... ) -- the coset trick is exact because
+    # (u*v - w)/t has degree mh - 2 < mh.  Top coefficient must vanish.
+    assert h[-1] == 0, "h degree overflow (unsatisfied QAP?)"
+    return h[: mh - 1]
 
 
 def prove(curve: PairingCurve, pk: ProvingKey, cs: R1CS, z: Sequence[int],

@@ -148,26 +148,61 @@ def prove(cfg: GIPAConfig, values, ck, com) -> GIPAProof:
     return proof
 
 
+def _fold_terms(cfg: GIPAConfig, alg, base, elems, exps):
+    """base + sum_i exps[i] * elems[i] in the commitment's abelian group.
+    GT terms batch onto the device (one 255-bit scan for the whole list,
+    vs ~1 s per host-Python cyclotomic pow); group/scalar terms stay on
+    host (native point ops are cheap)."""
+    from ..ops.pairing import dev_pairing
+    from .algebra import IdentityOutput
+
+    if isinstance(alg, HostAlg) and alg.kind == "gt":
+        parts = dev_pairing(cfg.ctx).gt_exp_batch(elems, exps)
+        acc = base
+        for p in parts:
+            acc = alg.add(acc, p)
+        return acc
+    if (getattr(alg, "kind", None) == "identity"
+            and alg.inner.kind == "gt"
+            and all(len(e.items) == 1 for e in elems)):
+        parts = dev_pairing(cfg.ctx).gt_exp_batch(
+            [e.items[0] for e in elems], exps
+        )
+        acc = base
+        for p in parts:
+            acc = alg.add(acc, IdentityOutput([p], "gt"))
+        return acc
+    acc = base
+    for e, x in zip(elems, exps):
+        acc = alg.add(acc, alg.mul_scalar(e, x))
+    return acc
+
+
 def compute_recursive_challenges(cfg: GIPAConfig, com, proof: GIPAProof
                                  ) -> Tuple[Tuple, List[int]]:
     """Replay Fiat-Shamir and fold the commitments (gipa.rs:322-363).
     Returns (base_com, transcript) with transcript reversed like the
-    reference (final round first)."""
-    com_a, com_b, com_t = com
+    reference (final round first).  The fold is an abelian sum, so all
+    rounds' scalar terms batch together (see _fold_terms)."""
     transcript: List[int] = []
     prev_c = 0
-    la, ra, ta = cfg.lmc.out_alg, cfg.rmc.out_alg, cfg.ipc.out_alg
     for com_1, com_2 in reversed(proof.steps):  # prove order
         c, c_inv = round_challenge(cfg, prev_c, com_1, com_2)
-        com_a = la.add(la.add(la.mul_scalar(com_1[0], c), com_a),
-                       la.mul_scalar(com_2[0], c_inv))
-        com_b = ra.add(ra.add(ra.mul_scalar(com_1[1], c), com_b),
-                       ra.mul_scalar(com_2[1], c_inv))
-        com_t = ta.add(ta.add(ta.mul_scalar(com_1[2], c), com_t),
-                       ta.mul_scalar(com_2[2], c_inv))
         transcript.append(c)
         prev_c = c
-    return (com_a, com_b, com_t), list(reversed(transcript))
+    r = cfg.ctx.host.r
+    c_invs = [pow(c, -1, r) for c in transcript]
+
+    algs = (cfg.lmc.out_alg, cfg.rmc.out_alg, cfg.ipc.out_alg)
+    folded = []
+    for slot, alg in enumerate(algs):
+        elems, exps = [], []
+        for (com_1, com_2), c, ci in zip(reversed(proof.steps),
+                                         transcript, c_invs):
+            elems += [com_1[slot], com_2[slot]]
+            exps += [c, ci]
+        folded.append(_fold_terms(cfg, alg, com[slot], elems, exps))
+    return tuple(folded), list(reversed(transcript))
 
 
 def final_ck_exponents(r: int, transcript_reversed: Sequence[int]

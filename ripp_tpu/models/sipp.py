@@ -107,12 +107,13 @@ def verify(ctx: DevCurveCtx, a_host: Sequence, b_host: Sequence,
     x_invs = [pow(x, -1, host.r) for x in x_s]
 
     # z' = claimed + sum(z_l * x + z_r * x_inv)   [GT, additive notation]
+    # -- all 2 log(n) exponentiations in one device batch
+    elems = [z for pair in proof.gt_elems for z in pair]
+    exps = [e for x, xi in zip(x_s, x_invs) for e in (x, xi)]
+    parts = dev_pairing(ctx).gt_exp_batch(elems, exps)
     z_prime = claimed_value
-    F12 = host.tower.fp12
-    for (z_l, z_r), x, x_inv in zip(proof.gt_elems, x_s, x_invs):
-        term = hp.gt_mul(host, hp.gt_exp(host, z_l, x),
-                         hp.gt_exp(host, z_r, x_inv))
-        z_prime = hp.gt_mul(host, z_prime, term)
+    for p in parts:
+        z_prime = hp.gt_mul(host, z_prime, p)
 
     # s / s_inv exponent vectors: s[i] = prod_{j: bit_j(i)} x_j with x_j at
     # bit (L-1-j).  Device-vectorized: one L-step scan of batch-n muls

@@ -50,6 +50,9 @@ class DevPairing:
             self.xi_inv = None
         self._miller_jit = jax.jit(self._miller_impl)
         self.product_reduce = jax.jit(self.product_reduce)
+        self._finalexp_jit = None
+        self._gtexp_jit = None
+        self._mul1_jit = jax.jit(self.fp12.mul)
 
     # ---- sparse line -> full Fp12 -------------------------------------------
     def _fp12_from_w(self, coeffs):
@@ -294,6 +297,133 @@ class DevPairing:
         red = scan_reduce(self.fp12.mul, f, n)
         return jax.tree.map(lambda x: x[None], red)
 
+    # ---- final exponentiation (device) --------------------------------------
+    @property
+    def _frob2_consts(self):
+        """Device fp2 constants g_k = xi^{k (p^2-1)/6}: the w^k-slot
+        multipliers of the p^2-power Frobenius (which acts trivially on
+        Fp2 itself since p^2 = 1 mod the quadratic structure)."""
+        if getattr(self, "_frob2_cache", None) is None:
+            host = self.ctx.host
+            t = host.tower
+            e = (host.p * host.p - 1) // 6
+            fp = self.fp
+            consts = []
+            for k in range(6):
+                c = t.fp2.pow(t.xi, k * e)
+                consts.append((fp.const(c[0]), fp.const(c[1])))
+            self._frob2_cache = consts
+        return self._frob2_cache
+
+    def _dev_frob2(self, f):
+        """f^(p^2) on device: slot-wise fp2 constant multiplications."""
+        F2 = self.fp2
+        g = self._frob2_consts
+        (s0, s2, s4), (s1, s3, s5) = f
+        return (
+            (s0, F2.mul(s2, g[2]), F2.mul(s4, g[4])),
+            (F2.mul(s1, g[1]), F2.mul(s3, g[3]), F2.mul(s5, g[5])),
+        )
+
+    def _final_exp_impl(self, f):
+        """f^((p^12-1)/r) on a [b, ...] fp12 batch.  Mirrors
+        host/pairing.py final_exponentiation exactly (easy part via
+        conj/inv/frob2, hard part as a plain bit-scan cyclotomic pow with
+        the full integer exponent) so host/device agree bit-for-bit."""
+        F12, F6 = self.fp12, self.fp6
+        host = self.ctx.host
+        g = F12.mul((f[0], F6.neg(f[1])), F12.inv(f))   # f^(p^6-1)
+        g = F12.mul(self._dev_frob2(g), g)              # ^(p^2+1)
+        d = (host.p ** 4 - host.p ** 2 + 1) // host.r
+        bits = jnp.asarray([int(b) for b in bin(d)[2:]], dtype=jnp.uint32)
+
+        def body(acc, bit):
+            sq = F12.sqr(acc)
+            wm = F12.mul(sq, g)
+            out = jax.tree.map(
+                lambda a, b: jnp.where(bit > 0, a, b), wm, sq
+            )
+            return out, None
+
+        acc, _ = jax.lax.scan(body, g, bits[1:])
+        return acc
+
+    def gt_exp_batch(self, gs, es):
+        """Batched GT exponentiation on device: host GT list [k], host int
+        exponents [k] -> host GT list.  One 255-bit square-and-multiply
+        scan over the whole batch replaces per-element host-Python
+        cyclotomic pows (~1 s each) in the GIPA/SIPP verifiers."""
+        import numpy as np
+
+        from .curve import MIN_REDUCE_BATCH
+        from .tower import tree_select
+
+        host = self.ctx.host
+        k = len(gs)
+        if k == 0:
+            return []
+        nbits = host.r.bit_length()
+        # fixed batch 64 (= 2 * log2(n) for n up to 2^32): ONE compiled
+        # executable for every protocol size; pad exponents with 0 -> 1
+        kp = max(64, -(-k // 64) * 64)
+        bits = np.zeros((kp, nbits), dtype=np.uint32)
+        for i, e in enumerate(es):
+            e = e % host.r
+            for j in range(nbits):
+                bits[i, j] = (e >> (nbits - 1 - j)) & 1
+        one_gt = host.tower.fp12.one()
+        f = self.ctx.t.fp12_to_dev(list(gs) + [one_gt] * (kp - k))
+
+        if self._gtexp_jit is None:
+            F12 = self.fp12
+
+            def impl(f, bits):
+                kb = jax.tree.leaves(f)[0].shape[0]
+                onef = self._ones_fp12((kb,))
+
+                def body(acc, col):
+                    sq = F12.sqr(acc)
+                    wm = F12.mul(sq, f)
+                    return tree_select(col > 0, wm, sq), None
+
+                acc, _ = jax.lax.scan(
+                    body, onef, jnp.moveaxis(jnp.asarray(bits), 0, 1)
+                )
+                return acc
+
+            self._gtexp_jit = jax.jit(impl)
+        out = self._gtexp_jit(f, bits)
+        return self.ctx.t.fp12_from_dev(out)[:k]
+
+    def finalize_product(self, prod, conj_for_x: bool = True):
+        """[1, ...] Miller-product tree -> host GT element, with the
+        negative-x conjugation and the FULL final exponentiation on
+        device (the host-Python Fp12 final exp cost ~1 s per product and
+        dominated every commitment round; on device it is a single
+        cached executable at MIN_REDUCE_BATCH)."""
+        from .curve import MIN_REDUCE_BATCH
+
+        if self._finalexp_jit is None:
+            F6 = self.fp6
+
+            def run(p, neg):
+                p = jax.lax.cond(
+                    neg, lambda q: (q[0], F6.neg(q[1])), lambda q: q, p
+                )
+                return self._final_exp_impl(p)
+
+            self._finalexp_jit = jax.jit(run)
+        padded = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x] + [x] * (MIN_REDUCE_BATCH - 1), axis=0
+            ),
+            prod,
+        )
+        neg = jnp.asarray(bool(self.x_neg) and conj_for_x)
+        out = self._finalexp_jit(padded, neg)
+        one = jax.tree.map(lambda x: x[:1], out)
+        return self.ctx.t.fp12_from_dev(one)[0]
+
     # ---- end-to-end -----------------------------------------------------------
     def multi_pairing(self, P_proj, Q_proj):
         """Full pairing product of projective device batches -> host GT
@@ -314,8 +444,7 @@ class DevPairing:
         if padded > n:
             P_proj = pad_with_identity(self.ctx.g1, P_proj, padded)
             Q_proj = pad_with_identity(self.ctx.g2, Q_proj, padded)
-        host = self.ctx.host
-        host_f = None
+        acc = None
         for c in range(n_chunks):
             sl = slice(c * chunk, (c + 1) * chunk)
             Pc = jax.tree.map(lambda x: x[sl], P_proj)
@@ -324,11 +453,8 @@ class DevPairing:
             g2a = self.ctx.g2.normalize(Qc)
             f = self.miller_batch(g1a, g2a)
             prod = self.product_reduce(f)
-            fc = self.ctx.t.fp12_from_dev(prod)[0]
-            host_f = fc if host_f is None else host.tower.fp12.mul(host_f, fc)
-        if self.x_neg:
-            host_f = host.tower.fp12_conj(host_f)
-        return hp.final_exponentiation(host, host_f)
+            acc = prod if acc is None else self._mul1_jit(acc, prod)
+        return self.finalize_product(acc)
 
 
 _PAIRINGS = {}

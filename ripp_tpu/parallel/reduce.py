@@ -38,6 +38,15 @@ def make_sharded_miller_product(ctx, mesh):
     ndev = mesh.devices.size
 
     def local_fn(P_proj, Q_proj):
+        from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+
+        n_loc = jax.tree.leaves(P_proj)[0].shape[0]
+        if n_loc < MIN_REDUCE_BATCH:
+            # pad the local shard so every mesh size shares the cached
+            # [MIN_REDUCE_BATCH]-local executable (identity pairs have
+            # Miller value 1)
+            P_proj = pad_with_identity(ctx.g1, P_proj, MIN_REDUCE_BATCH)
+            Q_proj = pad_with_identity(ctx.g2, Q_proj, MIN_REDUCE_BATCH)
         g1a = ctx.g1.normalize(P_proj)
         g2a = ctx.g2.normalize(Q_proj)
         f = dp.miller_batch(g1a, g2a)
@@ -66,6 +75,8 @@ def make_sharded_msm(ctx, grp, mesh):
     ndev = mesh.devices.size
 
     def local_fn(points, scalars):
+        # msm() itself pads the local shard to MIN_REDUCE_BATCH, so every
+        # mesh size shares the cached local executable
         part = msm_mod.msm(curve, fr, points, scalars)
         part = jax.tree.map(lambda x: x[None], part)
         gathered = jax.tree.map(
@@ -83,16 +94,13 @@ def make_sharded_msm(ctx, grp, mesh):
 
 
 def sharded_multi_pairing(ctx, mesh, P_proj, Q_proj):
-    """Full sharded pairing product -> host GT element (final exp on host,
-    as in ops/pairing.py multi_pairing)."""
-    from ..host import pairing as hp
-
+    """Full sharded pairing product -> host GT element (conjugation +
+    final exponentiation on device, as in ops/pairing.py)."""
     fn = make_sharded_miller_product(ctx, mesh)
     prod = fn(shard_tree(mesh, P_proj), shard_tree(mesh, Q_proj))
-    host_f = ctx.t.fp12_from_dev(prod)[0]
-    if dev_pairing(ctx).x_neg:
-        host_f = ctx.host.tower.fp12_conj(host_f)
-    return hp.final_exponentiation(ctx.host, host_f)
+    # replicate to the default device before the single-device final exp
+    prod = jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), prod)
+    return dev_pairing(ctx).finalize_product(prod)
 
 
 def sharded_msm_host(ctx, grp, mesh, points_proj, scalars_mont):

@@ -224,12 +224,11 @@ class ShardedSIPP:
         return SIPPProof(gt_elems=gt_elems)
 
     def _to_gt(self, fp12_tree):
-        """Replicated [1, ...] Miller value -> host GT (final exp on host,
-        conjugating for negative BLS parameter as in ops/pairing.py)."""
-        from ..host import pairing as hp
-
-        ctx = self.ctx
-        host_f = ctx.t.fp12_from_dev(fp12_tree)[0]
-        if dev_pairing(ctx).x_neg:
-            host_f = ctx.host.tower.fp12_conj(host_f)
-        return hp.final_exponentiation(ctx.host, host_f)
+        """Replicated [1, ...] Miller value -> host GT (conjugation +
+        final exponentiation on device, as in ops/pairing.py).  Pull the
+        replicated mesh value onto the default device first -- the final
+        exp executable is single-device."""
+        local = jax.tree.map(
+            lambda x: jnp.asarray(jax.device_get(x)), fp12_tree
+        )
+        return dev_pairing(self.ctx).finalize_product(local)

@@ -33,7 +33,9 @@ from ripp_tpu.utils.fiat_shamir import (  # noqa: E402
     rand_sw_point,
 )
 
-N = 8
+# global size = 8 per device so every mesh program runs the cached
+# [8]-local executables (local shards below 8 are padded anyway)
+N = 64
 
 
 def check_sharded_msm(ctx, mesh):

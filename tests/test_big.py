@@ -153,3 +153,124 @@ def test_groth16_aggregation_2_12():
     ver_s = time.perf_counter() - t0
     print(f"aggregation 2^12: aggregate {agg_s:.1f} s, verify {ver_s:.1f} s")
     assert ok
+
+
+def test_poly_commit_2_16():
+    """BASELINE config 4: trusted two-tier PC open/verify at degree
+    2^16 - 1 (the reference's #[ignore] univariate test scale,
+    poly_commit/mod.rs:436-439)."""
+    import time
+
+    from ripp_tpu.applications import poly_commit as pc
+    from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
+    from ripp_tpu.utils.poly import poly_eval
+
+    from ripp_tpu.ops.points import dev_ctx
+
+    ctx = dev_ctx("bls12_381")
+    r = ctx.host.r
+    rng = SeededRng(29)
+    degree = (1 << 16) - 1
+    coeffs = [rand_field(rng, r) for _ in range(degree + 1)]
+
+    t0 = time.perf_counter()
+    srs = pc.setup_univariate(ctx, rng, degree)
+    print(f"\nPC setup 2^16: {time.perf_counter()-t0:.1f} s")
+    v_srs = srs.ip_srs.get_verifier_key()
+
+    t0 = time.perf_counter()
+    com, y_coms = pc.commit_univariate(ctx, srs, coeffs)
+    print(f"PC commit 2^16: {time.perf_counter()-t0:.1f} s")
+
+    z = rand_field(rng, r)
+    t0 = time.perf_counter()
+    proof = pc.open_univariate(ctx, srs, coeffs, y_coms, z)
+    open_s = time.perf_counter() - t0
+    ev = poly_eval(coeffs, z, r)
+    t0 = time.perf_counter()
+    ok = pc.verify_univariate(ctx, v_srs, degree, com, z, ev, proof)
+    verify_s = time.perf_counter() - t0
+    print(f"PC open 2^16: {open_s:.1f} s, verify {verify_s:.2f} s")
+    assert ok
+
+
+def test_blake2s_groth16_roundtrip():
+    """The reference bench's actual workload: a Groth16 proof of Blake2s
+    preimage knowledge (bench.rs:30-75), ~21.5k constraints through the
+    NTT-domain QAP."""
+    import struct
+    import time
+
+    from ripp_tpu.applications import groth16
+    from ripp_tpu.applications.blake2s_circuit import build_blake2s_circuit
+    from ripp_tpu.utils.fiat_shamir import SeededRng
+
+    ctx = _ctx()
+    host = ctx.host
+    rng = SeededRng(57)
+    input_words = list(struct.unpack("<8I", bytes(range(11, 43))))
+    cs, z, out_words = build_blake2s_circuit(host.r, input_words)
+    print(f"\nBlake2s circuit: {len(cs.constraints)} constraints")
+
+    t0 = time.perf_counter()
+    pk = groth16.setup(host, cs, rng)
+    print(f"Groth16 setup (21k constraints): {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    proof = groth16.prove(host, pk, cs, z, rng)
+    print(f"Groth16 prove: {time.perf_counter()-t0:.1f} s")
+
+    publics = z[1:cs.num_public + 1]
+    t0 = time.perf_counter()
+    ok = groth16.verify(host, pk.vk, publics, proof)
+    print(f"Groth16 verify: {time.perf_counter()-t0:.2f} s")
+    assert ok
+    bad = list(publics)
+    bad[0] = (bad[0] + 1) % host.r
+    assert not groth16.verify(host, pk.vk, bad, proof)
+
+
+@pytest.mark.skipif(os.environ.get("RIPP_NORTHSTAR") != "1",
+                    reason="full 2^16 north star (RIPP_NORTHSTAR=1)")
+def test_groth16_aggregation_2_16():
+    """BASELINE config 5, full scale: 2^16 proofs aggregated end-to-end."""
+    import time
+
+    from ripp_tpu.applications import groth16, groth16_aggregation as agg
+    from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
+
+    ctx = _ctx()
+    host = ctx.host
+    n = 1 << 16
+    rng = SeededRng(61)
+    cs = groth16.sum_circuit(4)
+    pk = groth16.setup(host, cs, rng)
+
+    t0 = time.perf_counter()
+    zs, publics = [], []
+    for _ in range(n):
+        inputs = [rand_field(rng, host.r) for _ in range(4)]
+        witness = rand_field(rng, host.r)
+        z = groth16.sum_circuit_assignment(cs, inputs, witness, host.r)
+        zs.append(z)
+        publics.append(z[1:cs.num_public + 1])
+    A, B2, C = groth16.prove_batch(ctx, pk, cs, zs, rng)
+    import jax
+
+    jax.block_until_ready(A.pts)
+    print(f"\nGroth16 prove_batch 2^16: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    srs = agg.setup_inner_product(ctx, rng, n)
+    print(f"IP SRS gen 2^16: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    aproof = agg.aggregate_proofs_vec(ctx, srs, A, B2, C)
+    agg_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = agg.verify_aggregate_proof(
+        ctx, srs.get_verifier_key(), pk.vk, publics, aproof
+    )
+    ver_s = time.perf_counter() - t0
+    print(f"aggregation 2^16: aggregate {agg_s:.1f} s, verify {ver_s:.1f} s")
+    assert ok
