@@ -86,3 +86,34 @@ def test_device_g1_add_differential(curve):
         exp = curve.g1.add(host_pts[i], host_qts[i])
         assert not bool(np.asarray(inf)[i])
         assert (xs[i], ys[i]) == exp
+
+
+def test_bw6_pairing_bilinear(curve):
+    """Tate pairing on BW6-761 (host/bw6.py): non-degeneracy, order-r GT,
+    bilinearity, identity absorption in the multi-pairing."""
+    from ripp_tpu.host.bw6 import bw6_pairing
+
+    pr = bw6_pairing()
+    e = pr.pairing(curve.g1_gen, curve.g2_gen)
+    assert e != pr.gt_one()
+    assert pr.gt_exp(e, curve.r) == pr.gt_one()
+
+    P5 = curve.g1.scalar_mul(curve.g1_gen, 5)
+    Q7 = curve.g2.scalar_mul(curve.g2_gen, 7)
+    assert pr.pairing(P5, Q7) == pr.gt_exp(e, 35)
+    # e(aP, Q) * e(-aP, Q) = 1 via the shared-Miller multi-pairing
+    assert pr.multi_pairing(
+        [P5, curve.g1.neg(P5)], [Q7, Q7]
+    ) == pr.gt_one()
+
+
+def test_bw6_tower_inverse(curve):
+    from ripp_tpu.host.bw6 import BW6Tower
+
+    t6 = BW6Tower(curve.p)
+    a = tuple((i * 12345 + 7) % curve.p for i in range(1, 7))
+    assert t6.mul(a, t6.inv(a)) == t6.one()
+    # Fp3 subfield inverse agrees
+    b = (123, 456, 789)
+    prod = t6._fp3_mul(b, t6._fp3_inv(b))
+    assert prod == (1, 0, 0)
