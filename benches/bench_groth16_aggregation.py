@@ -101,11 +101,42 @@ def main():
     if bench_rec:
         csv(0, n, "olr", "skipped", 0.0)
         print("# olr (BW6-761 one-layer recursion) requires an in-circuit "
-              "Groth16 verifier; not implemented in this round", flush=True)
+              "Groth16 verifier; not implemented in this round (the "
+              "BW6-761 curve + pairing exist, host/bw6.py)", flush=True)
     if mono:
-        csv(0, n, "complete_circuit", "skipped", 0.0)
-        print("# complete_circuit (monolithic proof) requires the R1CS "
-              "gadget layer; not implemented in this round", flush=True)
+        # complete_circuit (bench.rs:470-526): ONE monolithic Groth16
+        # proof covering all n Blake2s evaluations -- n independent
+        # compression instances in a single constraint system (no
+        # in-circuit pairing gadgets; this baseline exists to show how a
+        # huge single SNARK compares against aggregation).
+        from ripp_tpu.applications.blake2s_circuit import (
+            build_blake2s_multi_circuit,
+        )
+
+        mono_inputs = [rand_input(k) for k in range(n)]
+        (mono_cs, mono_z, _), ms = timed(
+            build_blake2s_multi_circuit, host.r, mono_inputs
+        )
+        csv(0, n, "complete_circuit", "synthesize", ms)
+        mono_pk, ms = timed(groth16.setup_device, ctx, mono_cs, rng)
+        csv(0, n, "complete_circuit", "setup", ms)
+        for trial in range(trials):
+            # device-batched prover at B=1 (the query MSMs are the cost)
+            def mono_prove():
+                mA, mB2, mC = groth16.prove_batch(
+                    ctx, mono_pk, mono_cs, [mono_z], rng
+                )
+                return groth16.Proof(a=mA.to_host()[0], b=mB2.to_host()[0],
+                                     c=mC.to_host()[0])
+
+            mono_prf, ms = timed(mono_prove)
+            csv(trial, n, "complete_circuit", "prove", ms)
+            mono_pub = mono_z[1:mono_cs.num_public + 1]
+            ok, ms = timed(
+                groth16.verify, host, mono_pk.vk, mono_pub, mono_prf
+            )
+            assert ok, "complete_circuit verification failed"
+            csv(trial, n, "complete_circuit", "verify", ms)
 
 
 if __name__ == "__main__":

@@ -109,15 +109,16 @@ class _Builder:
     one pass so the assignment is produced alongside the constraints.
     """
 
-    def __init__(self, r: int):
+    def __init__(self, r: int, num_public: int = 8):
         self.r = r
+        self.num_public = num_public
         self.pub_vals: List[int] = []
         self.wit_vals: List[int] = []
         self.constraints: List[Tuple[LinComb, LinComb, LinComb]] = []
 
     # var index helpers (publics come first after the constant)
     def _wit_index(self, k: int) -> int:
-        return 1 + 8 + k
+        return 1 + self.num_public + k
 
     def alloc(self, value: int) -> int:
         self.wit_vals.append(value % self.r)
@@ -210,14 +211,11 @@ class _Builder:
         return out
 
 
-def build_blake2s_circuit(r: int, input_words: Sequence[int]
-                          ) -> Tuple[R1CS, List[int], List[int]]:
-    """Build the circuit AND its satisfying assignment for the given
-    8-word input.  Returns (cs, z, public_output_words)."""
-    bld = _Builder(r)
-    out_words = blake2s_prf(input_words)
-    bld.pub_vals = [w % r for w in out_words]
-
+def _add_compression(bld: "_Builder", input_words: Sequence[int],
+                     pub_offset: int) -> None:
+    """Append one Blake2s compression instance to the builder, binding
+    its 8 output words to public variables pub_offset..pub_offset+7
+    (whose values must already be present in bld.pub_vals)."""
     msg = [bld.const_word(0) for _ in range(8)]
     msg += [bld.alloc_word(w) for w in input_words]
 
@@ -254,12 +252,41 @@ def build_blake2s_circuit(r: int, input_words: Sequence[int]
         lhs: Bit = {}
         for i, bit in enumerate(ob):
             lhs = bld._lc_add(lhs, bit, 1, 1 << i)
-        bld.enforce(lhs, {0: 1}, {1 + j: 1})
+        bld.enforce(lhs, {0: 1}, {1 + pub_offset + j: 1})
 
+
+def build_blake2s_circuit(r: int, input_words: Sequence[int]
+                          ) -> Tuple[R1CS, List[int], List[int]]:
+    """Build the circuit AND its satisfying assignment for the given
+    8-word input.  Returns (cs, z, public_output_words)."""
+    bld = _Builder(r)
+    out_words = blake2s_prf(input_words)
+    bld.pub_vals = [w % r for w in out_words]
+    _add_compression(bld, input_words, 0)
     cs = R1CS(num_public=8, num_witness=len(bld.wit_vals),
               constraints=bld.constraints)
     z = bld.assignment()
     return cs, z, out_words
+
+
+def build_blake2s_multi_circuit(r: int, inputs: Sequence[Sequence[int]]
+                                ) -> Tuple[R1CS, List[int], List[List[int]]]:
+    """The reference's `complete_circuit` aggregation baseline
+    (/root/reference/benches/benches/groth16_aggregation/bench.rs:470-526):
+    ALL n Blake2s-PRF evaluations proven inside ONE monolithic Groth16
+    circuit (n independent compression instances sharing a constraint
+    system; publics = the n*8 output words).  No in-circuit pairing
+    gadgets are involved -- the point of the baseline is comparing one
+    big SNARK against n aggregated small ones."""
+    n = len(inputs)
+    bld = _Builder(r, num_public=8 * n)
+    outs = [blake2s_prf(iw) for iw in inputs]
+    bld.pub_vals = [w % r for ow in outs for w in ow]
+    for k, iw in enumerate(inputs):
+        _add_compression(bld, iw, 8 * k)
+    cs = R1CS(num_public=8 * n, num_witness=len(bld.wit_vals),
+              constraints=bld.constraints)
+    return cs, bld.assignment(), outs
 
 
 def blake2s_assignment(cs_template: R1CS, r: int,

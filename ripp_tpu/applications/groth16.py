@@ -198,6 +198,105 @@ def setup(curve: PairingCurve, cs: R1CS, rng) -> ProvingKey:
     )
 
 
+def setup_device(ctx, cs: R1CS, rng) -> ProvingKey:
+    """setup() with every query scalar-multiplication batched through the
+    device fixed-base window tables (ops/fixed_base.py) instead of one
+    native host ladder per element.  Required for large circuits -- the
+    monolithic `complete_circuit` baseline reaches n * 21.5k constraints,
+    i.e. millions of fixed-base muls.  Toxic-waste scalar math stays on
+    host (exact integers); only the G1/G2 ladders move to the chip.
+    Returns the same host-point ProvingKey as setup()."""
+    from ..ops.fixed_base import fixed_base_msm
+    from ..utils.ntt import root_of_unity
+
+    curve = ctx.host
+    r = curve.r
+    m = len(cs.constraints)
+    mh = _domain_size(m)
+    nv = cs.num_vars
+    alpha, beta, gamma, delta, x = (rand_field(rng, r) for _ in range(5))
+
+    omega = root_of_unity(r, mh)
+    t_x = (pow(x, mh, r) - 1) % r
+    mh_inv = pow(mh, -1, r)
+    # batch-invert the (x - w^j) denominators with the Montgomery trick:
+    # one inversion for the whole domain
+    wj = 1
+    dens = []
+    for _ in range(mh):
+        dens.append((x - wj) % r)
+        wj = wj * omega % r
+    prefix = [1] * (mh + 1)
+    for j, d in enumerate(dens):
+        prefix[j + 1] = prefix[j] * d % r
+    inv_all = pow(prefix[mh], -1, r)
+    invs = [0] * mh
+    for j in range(mh - 1, -1, -1):
+        invs[j] = prefix[j] * inv_all % r
+        inv_all = inv_all * dens[j] % r
+    wj = 1
+    l_at_x = []
+    for j in range(mh):
+        l_at_x.append(wj * t_x % r * mh_inv % r * invs[j] % r)
+        wj = wj * omega % r
+
+    u = [0] * nv
+    v = [0] * nv
+    w = [0] * nv
+    for j, (a_lc, b_lc, c_lc) in enumerate(cs.constraints):
+        lj = l_at_x[j]
+        for i, coeff in a_lc.items():
+            u[i] = (u[i] + coeff * lj) % r
+        for i, coeff in b_lc.items():
+            v[i] = (v[i] + coeff * lj) % r
+        for i, coeff in c_lc.items():
+            w[i] = (w[i] + coeff * lj) % r
+    gamma_inv, delta_inv = pow(gamma, -1, r), pow(delta, -1, r)
+    n_pub = cs.num_public + 1
+
+    def dev_fixed_base(grp: str, gen, scalars: List[int]) -> List:
+        from ..models.vectors import PointVec
+
+        dcurve = ctx.g1 if grp == "g1" else ctx.g2
+        base = PointVec.from_host(ctx, grp, [gen])
+        out = fixed_base_msm(dcurve, base.pts, scalars, r.bit_length())
+        from_dev = ctx.g1_from_dev if grp == "g1" else ctx.g2_from_dev
+        return from_dev(out)
+
+    g1_scalars = (
+        [(beta * u[i] + alpha * v[i] + w[i]) % r * gamma_inv % r
+         for i in range(n_pub)]
+        + [(beta * u[i] + alpha * v[i] + w[i]) % r * delta_inv % r
+           for i in range(n_pub, nv)]
+        + [pow(x, k, r) * t_x % r * delta_inv % r
+           for k in range(max(1, mh - 1))]
+        + list(u) + list(v)
+        + [alpha, beta, delta]
+    )
+    g1_pts = dev_fixed_base("g1", curve.g1_gen, g1_scalars)
+    g2_pts = dev_fixed_base("g2", curve.g2_gen,
+                            list(v) + [beta, gamma, delta])
+
+    n_h = max(1, mh - 1)
+    o = 0
+    gamma_abc = g1_pts[o:o + n_pub]; o += n_pub
+    l_query = g1_pts[o:o + nv - n_pub]; o += nv - n_pub
+    h_query = g1_pts[o:o + n_h]; o += n_h
+    a_query = g1_pts[o:o + nv]; o += nv
+    b_g1_query = g1_pts[o:o + nv]; o += nv
+    alpha_g1, beta_g1, delta_g1 = g1_pts[o:o + 3]
+    b_g2_query = g2_pts[:nv]
+    beta_g2, gamma_g2, delta_g2 = g2_pts[nv:nv + 3]
+
+    vk = VerifyingKey(alpha_g1=alpha_g1, beta_g2=beta_g2,
+                      gamma_g2=gamma_g2, delta_g2=delta_g2,
+                      gamma_abc_g1=gamma_abc)
+    return ProvingKey(vk=vk, beta_g1=beta_g1, delta_g1=delta_g1,
+                      a_query=a_query, b_g1_query=b_g1_query,
+                      b_g2_query=b_g2_query, l_query=l_query,
+                      h_query=h_query)
+
+
 def _h_coeffs(cs: R1CS, z: Sequence[int], r: int) -> List[int]:
     """h(X) = (u(X) v(X) - w(X)) / t(X) via NTTs over the roots-of-unity
     domain: interpolate u,v,w from their per-constraint values, evaluate

@@ -274,3 +274,67 @@ def test_groth16_aggregation_2_16():
     ver_s = time.perf_counter() - t0
     print(f"aggregation 2^16: aggregate {agg_s:.1f} s, verify {ver_s:.1f} s")
     assert ok
+
+
+def test_complete_circuit_monolithic():
+    """The reference's `complete_circuit` baseline (bench.rs:470-526):
+    one monolithic Groth16 proof covering several Blake2s instances, with
+    device-batched setup (fixed-base tables) and prover (query MSMs)."""
+    import struct
+    import time
+
+    from ripp_tpu.applications import groth16
+    from ripp_tpu.applications.blake2s_circuit import (
+        build_blake2s_multi_circuit,
+    )
+    from ripp_tpu.utils.fiat_shamir import SeededRng
+
+    ctx = _ctx()
+    host = ctx.host
+    rng = SeededRng(91)
+    n = 4
+    inputs = [list(struct.unpack("<8I", bytes(range(k, k + 32))))
+              for k in range(n)]
+    t0 = time.perf_counter()
+    cs, z, _ = build_blake2s_multi_circuit(host.r, inputs)
+    print(f"\nmono circuit n={n}: {len(cs.constraints)} constraints "
+          f"({time.perf_counter()-t0:.1f} s to synthesize)")
+
+    t0 = time.perf_counter()
+    pk = groth16.setup_device(ctx, cs, rng)
+    print(f"setup_device: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    A, B2, C = groth16.prove_batch(ctx, pk, cs, [z], rng)
+    proof = groth16.Proof(a=A.to_host()[0], b=B2.to_host()[0],
+                          c=C.to_host()[0])
+    print(f"prove (device batch=1): {time.perf_counter()-t0:.1f} s")
+
+    publics = z[1:cs.num_public + 1]
+    assert groth16.verify(host, pk.vk, publics, proof)
+    bad = list(publics)
+    bad[3] = (bad[3] + 1) % host.r
+    assert not groth16.verify(host, pk.vk, bad, proof)
+
+
+def test_setup_device_matches_host():
+    """setup_device must reproduce setup() exactly from the same seed
+    (same toxic waste, device fixed-base ladders vs native host ladders)."""
+    from ripp_tpu.applications import groth16
+    from ripp_tpu.utils.fiat_shamir import SeededRng
+
+    ctx = _ctx()
+    host = ctx.host
+    cs = groth16.sum_circuit(4)
+    pk1 = groth16.setup(host, cs, SeededRng(9))
+    pk2 = groth16.setup_device(ctx, cs, SeededRng(9))
+    assert pk1.vk.gamma_abc_g1 == pk2.vk.gamma_abc_g1
+    assert pk1.a_query == pk2.a_query
+    assert pk1.b_g1_query == pk2.b_g1_query
+    assert pk1.b_g2_query == pk2.b_g2_query
+    assert pk1.l_query == pk2.l_query
+    assert pk1.h_query == pk2.h_query
+    assert (pk1.vk.alpha_g1, pk1.beta_g1, pk1.delta_g1) == \
+        (pk2.vk.alpha_g1, pk2.beta_g1, pk2.delta_g1)
+    assert (pk1.vk.beta_g2, pk1.vk.gamma_g2, pk1.vk.delta_g2) == \
+        (pk2.vk.beta_g2, pk2.vk.gamma_g2, pk2.vk.delta_g2)
