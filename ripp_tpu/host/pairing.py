@@ -98,18 +98,48 @@ def miller_loop(curve: PairingCurve, p1, q2) -> Tuple:
     return f
 
 
-def final_exponentiation(curve: PairingCurve, f) -> Tuple:
-    """f^((p^12 - 1)/r): easy part via Frobenius, hard part by plain
-    (cyclotomic) exponentiation with the integer exponent."""
+def hard_part_ladder(curve: PairingCurve, m) -> Tuple:
+    """m^((p^4 - p^2 + 1)/r) for m in the cyclotomic subgroup via the
+    BLS12 seed ladder
+
+        h = ((x-1)/3) * (x-1) * (x+p) * (x^2 + p^2 - 1) + 1
+
+    (exact -- verified for BLS12-381/-377/toy; cf. the 3h variant of
+    Hayashida et al. 2020/875; 3 | x-1 for BLS seeds so the exact form
+    exists).  4 seed-length exponentiations + 2 Frobenius + a few muls,
+    vs a ~4|p|-bit blind exponentiation."""
     T = curve.tower
     F = T.fp12
+    x = curve.x
+    g0 = T.cyclotomic_pow(m, (x - 1) // 3)
+    g1 = T.cyclotomic_pow(g0, x - 1)
+    g2 = F.mul(T.cyclotomic_pow(g1, x), T.frob_fp12(g1, 1))
+    g3 = F.mul(
+        F.mul(T.cyclotomic_pow(T.cyclotomic_pow(g2, x), x),
+              T.frob_fp12(g2, 2)),
+        T.cyclotomic_inv(g2),
+    )
+    return F.mul(g3, m)
+
+
+def hard_part_blind(curve: PairingCurve, m) -> Tuple:
+    """Reference hard part: blind exponentiation by the full integer
+    (p^4 - p^2 + 1)/r.  Kept as the differential ground truth for
+    hard_part_ladder."""
     p = curve.p
+    d = (pow(p, 4) - pow(p, 2) + 1) // curve.r
+    return curve.tower.cyclotomic_pow(m, d)
+
+
+def final_exponentiation(curve: PairingCurve, f) -> Tuple:
+    """f^((p^12 - 1)/r): easy part via Frobenius, hard part via the BLS12
+    seed ladder (hard_part_ladder)."""
+    T = curve.tower
+    F = T.fp12
     # easy part: f^((p^6 - 1)(p^2 + 1))
     f = F.mul(T.fp12_conj(f), F.inv(f))
     f = F.mul(T.frob_fp12(f, 2), f)
-    # hard part: f^((p^4 - p^2 + 1) / r); f is now in the cyclotomic subgroup
-    d = (pow(p, 4) - pow(p, 2) + 1) // curve.r
-    return T.cyclotomic_pow(f, d)
+    return hard_part_ladder(curve, f)
 
 
 def pairing(curve: PairingCurve, p1, q2) -> Tuple:

@@ -101,60 +101,63 @@ class DevSWCurve:
         return acc
 
     # --- complete group law (RCB15 algorithms 7 & 9, a = 0) ------------------
+    def _stack_mul(self, pairs):
+        """k independent base-field products in ONE stacked mul call.
+        Kernel-launch overhead inside scan ladders (scalar_mul_bits runs
+        one add+double per bit) costs more than the arithmetic of these
+        small products; the stacked form turns the 12-mul RCB15 add into
+        3 launches (dependency levels)."""
+        from .tower import tree_bcast, tree_idx, tree_stack
+
+        F = self.F
+        ls, rs = zip(*[tree_bcast(a, b) for a, b in pairs])
+        V = F.mul(tree_stack(list(ls)), tree_stack(list(rs)))
+        return [tree_idx(V, i) for i in range(len(pairs))]
+
     def add(self, P, Q):
         F = self.F
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
         b3 = self.b3
-        t0 = F.mul(X1, X2)
-        t1 = F.mul(Y1, Y2)
-        t2 = F.mul(Z1, Z2)
-        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-        t3 = F.sub(t3, F.add(t0, t1))
-        t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-        t4 = F.sub(t4, F.add(t1, t2))
-        x3 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-        y3 = F.sub(x3, F.add(t0, t2))
-        x3 = F.add(t0, t0)
-        t0 = F.add(x3, t0)
-        t2 = F.mul(b3, t2)
-        z3 = F.add(t1, t2)
-        t1 = F.sub(t1, t2)
-        y3 = F.mul(b3, y3)
-        x3 = F.mul(t4, y3)
-        t2 = F.mul(t3, t1)
-        x3 = F.sub(t2, x3)
-        y3 = F.mul(y3, t0)
-        t1 = F.mul(t1, z3)
-        y3 = F.add(t1, y3)
-        t0 = F.mul(t0, t3)
-        z3 = F.mul(z3, t4)
-        z3 = F.add(z3, t0)
-        return (x3, y3, z3)
+        # level 1: the six cross products
+        m_xx, m_yy, m_zz, m_xy, m_yz, m_xz = self._stack_mul([
+            (X1, X2), (Y1, Y2), (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ])
+        t3 = F.sub(m_xy, F.add(m_xx, m_yy))      # X1Y2 + X2Y1
+        t4 = F.sub(m_yz, F.add(m_yy, m_zz))      # Y1Z2 + Y2Z1
+        ty = F.sub(m_xz, F.add(m_xx, m_zz))      # X1Z2 + X2Z1
+        t0 = F.add(F.add(m_xx, m_xx), m_xx)      # 3 X1X2
+        # level 2: the two b3 scalings
+        t2, y3b = self._stack_mul([(b3, m_zz), (b3, ty)])
+        z3s = F.add(m_yy, t2)
+        t1s = F.sub(m_yy, t2)
+        # level 3: the six output products
+        p_a, p_b, p_c, p_d, p_e, p_f = self._stack_mul([
+            (t4, y3b), (t3, t1s), (y3b, t0),
+            (t1s, z3s), (t0, t3), (z3s, t4),
+        ])
+        return (F.sub(p_b, p_a), F.add(p_d, p_c), F.add(p_f, p_e))
 
     def double(self, P):
         F = self.F
         X, Y, Z = P
         b3 = self.b3
-        t0 = F.sqr(Y)
-        z3 = F.add(t0, t0)
-        z3 = F.add(z3, z3)
-        z3 = F.add(z3, z3)
-        t1 = F.mul(Y, Z)
-        t2 = F.sqr(Z)
-        t2 = F.mul(b3, t2)
-        x3 = F.mul(t2, z3)
-        y3 = F.add(t0, t2)
-        z3 = F.mul(t1, z3)
-        t1 = F.add(t2, t2)
-        t2 = F.add(t1, t2)
-        t0 = F.sub(t0, t2)
-        y3 = F.mul(t0, y3)
-        y3 = F.add(x3, y3)
-        t1 = F.mul(X, Y)
-        x3 = F.mul(t0, t1)
-        x3 = F.add(x3, x3)
-        return (x3, y3, z3)
+        t0, t1, t2m, txy = self._stack_mul([
+            (Y, Y), (Y, Z), (Z, Z), (X, Y),
+        ])
+        z3a = F.add(t0, t0)
+        z3a = F.add(z3a, z3a)
+        z3a = F.add(z3a, z3a)                    # 8 Y^2
+        t2 = F.mul(b3, t2m)
+        y3a = F.add(t0, t2)
+        t0b = F.sub(t0, F.add(F.add(t2, t2), t2))
+        x3m, y3m, z3, x3b = self._stack_mul([
+            (t2, z3a), (t0b, y3a), (t1, z3a), (t0b, txy),
+        ])
+        return (F.add(x3b, x3b), F.add(x3m, y3m), z3)
 
     def neg(self, P):
         X, Y, Z = P

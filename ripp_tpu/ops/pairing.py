@@ -72,6 +72,13 @@ class DevPairing:
             return (cy_yP, cx_xP, c0)
         return (self.ctx.t.mul_xi(cy_yP), c0, cx_xP)
 
+    def _line_coeffs_post_eval(self, cy_yP, cx_xP, c0):
+        """_line_eval_coeffs when cy*yP and cx*xP were already computed
+        (stacked with the step's other Fp2 products in the Miller body)."""
+        if self.twist == "D":
+            return (cy_yP, cx_xP, c0)
+        return (self.ctx.t.mul_xi(cy_yP), c0, cx_xP)
+
     def _line_to_fp12(self, cy, cx, c0, xP, yP):
         """Line with Fp2 coefficients: l = cy*yP + cx*xP*w + c0*w^3 (D-type)
         evaluated at the embedded G1 point (xP, yP in Fp, batch [n, NL]).
@@ -205,6 +212,17 @@ class DevPairing:
 
         b3 = g2curve.b3  # 3*b' device constant (twist curve coefficient)
 
+        def stack2(pairs):
+            """k independent Fp2 products in ONE stacked base-field mul
+            (same compile-lean/launch-lean pattern as _mul_by_line): each
+            extra kernel launch inside the 64-step scan costs more than
+            the arithmetic it carries."""
+            from .tower import tree_bcast, tree_idx, tree_stack
+
+            ls, rs = zip(*[tree_bcast(a, b) for a, b in pairs])
+            V = F2.mul(tree_stack(list(ls)), tree_stack(list(rs)))
+            return [tree_idx(V, i) for i in range(len(pairs))]
+
         def dbl(carry):
             """Combined doubling + line (Costello-Lange-Naehrig-style
             shared subexpressions, homogeneous a=0 twist; eprint 2010/526
@@ -214,34 +232,56 @@ class DevPairing:
             the curve relation Y^2 Z = X^3 + b'Z^3).  The new point is the
             CLN double uniformly scaled by 4 (avoids the /2's).
             Non-complete formulas are sound here: T = [k]Q with
-            0 < k < r never hits the identity."""
+            0 < k < r never hits the identity.
+
+            The Fp2 products run as THREE stacked mul calls (dependency
+            levels), not ~10 individual ones -- per-launch overhead inside
+            the scan body dominated the arithmetic (measured ~5x gap to
+            the mul-limited roofline in round 2)."""
             (X, Y, Z), f = carry
             f = F12.sqr(f)
-            B = F2.sqr(Y)
-            C = F2.sqr(Z)
-            E = F2.mul(C, b3)                        # 3 b' Z^2
-            F_ = F2.mul_small(E, 3)                  # 9 b' Z^2
-            A = F2.mul(X, Y)
-            X3 = F2.mul_small(F2.mul(A, F2.sub(B, F_)), 2)
-            G = F2.add(B, F_)
-            Y3 = F2.sub(F2.sqr(G), F2.mul_small(F2.sqr(E), 12))
-            H = F2.sub(F2.sub(F2.sqr(F2.add(Y, Z)), B), C)   # 2YZ
-            Z3 = F2.mul_small(F2.mul(B, H), 4)
+            # level 1: independent products of the current coordinates
+            B, C, A, X2, YZ2, Zb = stack2([
+                (Y, Y), (Z, Z), (X, Y), (X, X),
+                (F2.add(Y, Z), F2.add(Y, Z)), (Z, b3),
+            ])
+            H = F2.sub(F2.sub(YZ2, B), C)            # 2YZ
             cy = F2.neg(H)
-            cx = F2.mul_small(F2.sqr(X), 3)
+            cx = F2.mul_small(X2, 3)
+            # level 2: E = 3 b' Z^2 (= Zb * Z) + the line evaluations at
+            # the embedded G1 point (depend only on level 1)
+            yP2 = (yP, jnp.zeros_like(yP))
+            xP2 = (xP, jnp.zeros_like(xP))
+            E, cy_yP, cx_xP = stack2([(Zb, Z), (cy, yP2), (cx, xP2)])
+            F_ = F2.mul_small(E, 3)                  # 9 b' Z^2
+            G = F2.add(B, F_)
             c0 = F2.sub(E, B)
+            # level 3: everything needing E/G
+            AX, GG, EE, BH = stack2([
+                (A, F2.sub(B, F_)), (G, G), (E, E), (B, H),
+            ])
+            X3 = F2.mul_small(AX, 2)
+            Y3 = F2.sub(GG, F2.mul_small(EE, 12))
+            Z3 = F2.mul_small(BH, 4)
             f = self._mul_by_line(
-                f, self._line_eval_coeffs(cy, cx, c0, xP, yP)
+                f, self._line_coeffs_post_eval(cy_yP, cx_xP, c0)
             )
             return ((X3, Y3, Z3), f)
 
         def addq(carry):
             (X, Y, Z), f = carry
-            theta = F2.sub(Y, F2.mul(qy, Z))
-            lam = F2.sub(X, F2.mul(qx, Z))
-            c0 = F2.sub(F2.mul(theta, qx), F2.mul(lam, qy))
+            qyZ, qxZ = stack2([(qy, Z), (qx, Z)])
+            theta = F2.sub(Y, qyZ)
+            lam = F2.sub(X, qxZ)
+            yP2 = (yP, jnp.zeros_like(yP))
+            xP2 = (xP, jnp.zeros_like(xP))
+            tqx, lqy, cy_yP, cx_xP = stack2([
+                (theta, qx), (lam, qy),
+                (lam, yP2), (F2.neg(theta), xP2),
+            ])
+            c0 = F2.sub(tqx, lqy)
             f = self._mul_by_line(
-                f, self._line_eval_coeffs(lam, F2.neg(theta), c0, xP, yP)
+                f, self._line_coeffs_post_eval(cy_yP, cx_xP, c0)
             )
             T = g2curve.add((X, Y, Z), (qx, qy, q_proj_one))
             return (T, f)
@@ -325,17 +365,53 @@ class DevPairing:
             (F2.mul(s1, g[1]), F2.mul(s3, g[3]), F2.mul(s5, g[5])),
         )
 
-    def _final_exp_impl(self, f):
-        """f^((p^12-1)/r) on a [b, ...] fp12 batch.  Mirrors
-        host/pairing.py final_exponentiation exactly (easy part via
-        conj/inv/frob2, hard part as a plain bit-scan cyclotomic pow with
-        the full integer exponent) so host/device agree bit-for-bit."""
-        F12, F6 = self.fp12, self.fp6
-        host = self.ctx.host
-        g = F12.mul((f[0], F6.neg(f[1])), F12.inv(f))   # f^(p^6-1)
-        g = F12.mul(self._dev_frob2(g), g)              # ^(p^2+1)
-        d = (host.p ** 4 - host.p ** 2 + 1) // host.r
-        bits = jnp.asarray([int(b) for b in bin(d)[2:]], dtype=jnp.uint32)
+    @property
+    def _frob1_consts(self):
+        """Device fp2 constants for the p-power Frobenius: slot k of the
+        w-basis picks up xi^{k (p-1)/6} after the Fp2 conjugation (host
+        tower frob12_c1/frob6 structure, flattened to the 6 w-slots)."""
+        if getattr(self, "_frob1_cache", None) is None:
+            host = self.ctx.host
+            t = host.tower
+            e = (host.p - 1) // 6
+            fp = self.fp
+            consts = []
+            for k in range(6):
+                c = t.fp2.pow(t.xi, k * e)
+                consts.append((fp.const(c[0]), fp.const(c[1])))
+            self._frob1_cache = consts
+        return self._frob1_cache
+
+    def _dev_frob1(self, f):
+        """f^p on device: per-slot Fp2 conjugation (p = 3 mod 4 towers:
+        u -> -u) then the slot constant multiplication."""
+        F2 = self.fp2
+        g = self._frob1_consts
+
+        def cj(c):
+            return (c[0], self.fp.neg(c[1]))
+
+        (s0, s2, s4), (s1, s3, s5) = f
+        return (
+            (cj(s0), F2.mul(cj(s2), g[2]), F2.mul(cj(s4), g[4])),
+            (F2.mul(cj(s1), g[1]), F2.mul(cj(s3), g[3]),
+             F2.mul(cj(s5), g[5])),
+        )
+
+    def _cyc_conj(self, f):
+        return (f[0], self.fp6.neg(f[1]))
+
+    def _cyc_pow_const(self, g, e: int):
+        """g^e for a static host integer e, g in the cyclotomic subgroup
+        (inverse = conjugation).  Bit-scan with the existing full Fp12
+        squaring; e is a compile-time constant so each distinct |e| is
+        one scan length."""
+        F12 = self.fp12
+        if e == 0:
+            return self._ones_fp12(jax.tree.leaves(g)[0].shape[:1])
+        neg = e < 0
+        e = abs(e)
+        bits = jnp.asarray([int(b) for b in bin(e)[2:]], dtype=jnp.uint32)
 
         def body(acc, bit):
             sq = F12.sqr(acc)
@@ -345,8 +421,33 @@ class DevPairing:
             )
             return out, None
 
-        acc, _ = jax.lax.scan(body, g, bits[1:])
-        return acc
+        if bits.shape[0] == 1:
+            acc = g
+        else:
+            acc, _ = jax.lax.scan(body, g, bits[1:])
+        return self._cyc_conj(acc) if neg else acc
+
+    def _final_exp_impl(self, f):
+        """f^((p^12-1)/r) on a [b, ...] fp12 batch.  Easy part via
+        conj/inv/frob2; hard part via the exact BLS12 seed ladder
+        h = ((x-1)/3)(x-1)(x+p)(x^2+p^2-1) + 1 (host/pairing.py
+        hard_part_ladder, differentially tested against the blind
+        exponentiation): 4 seed-length scans instead of one ~4|p|-bit
+        scan (~5x fewer Fp12 ops)."""
+        F12, F6 = self.fp12, self.fp6
+        host = self.ctx.host
+        g = F12.mul((f[0], F6.neg(f[1])), F12.inv(f))   # f^(p^6-1)
+        g = F12.mul(self._dev_frob2(g), g)              # ^(p^2+1)
+        x = host.x
+        g0 = self._cyc_pow_const(g, (x - 1) // 3)
+        g1 = self._cyc_pow_const(g0, x - 1)
+        g2 = F12.mul(self._cyc_pow_const(g1, x), self._dev_frob1(g1))
+        g3 = F12.mul(
+            F12.mul(self._cyc_pow_const(self._cyc_pow_const(g2, x), x),
+                    self._dev_frob2(g2)),
+            self._cyc_conj(g2),
+        )
+        return F12.mul(g3, g)
 
     def gt_exp_batch(self, gs, es):
         """Batched GT exponentiation on device: host GT list [k], host int

@@ -19,9 +19,16 @@ def setup() -> None:
         return
     import jax
 
+    # Platform-split caches: with PALLAS_AXON_REMOTE_COMPILE the TPU-side
+    # entries are compiled on a DIFFERENT x86 host (the terminal side of
+    # the tunnel); loading those AOT results into local XLA:CPU trips
+    # machine-feature mismatches (cpu_aot_loader warns about SIGILL).
+    # CPU runs therefore get their own cache directory.
+    suffix = "_cpu" if os.environ.get("JAX_PLATFORMS", "") == "cpu" else ""
     cache_dir = os.environ.get(
         "RIPP_TPU_JAX_CACHE",
-        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+        os.path.join(os.path.dirname(__file__), "..", "..",
+                     ".jax_cache" + suffix),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)

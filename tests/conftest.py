@@ -21,9 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Persistent compilation cache: the limb kernels compile slowly (seconds per
 # shape instance) and protocols touch many shapes (n, n/2, ..., 1); cache
-# compiled executables across test runs/processes.
+# compiled executables across test runs/processes.  CPU runs use their own
+# directory: remote-compiled TPU AOT entries in .jax_cache are built on a
+# different x86 host and trip machine-feature mismatches under XLA:CPU.
+_suffix = "_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else ""
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
+    "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache" + _suffix
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

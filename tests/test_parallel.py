@@ -28,8 +28,11 @@ def test_sharded_reductions_and_dryrun():
         env.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     ).strip()
+    # subprocess runs on XLA:CPU -> CPU-only cache (TPU AOT entries in
+    # .jax_cache come from a different x86 host; loading them here risks
+    # SIGILL per cpu_aot_loader machine-feature warnings)
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                   os.path.join(REPO, ".jax_cache"))
+                   os.path.join(REPO, ".jax_cache_cpu"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "parallel_check.py")],
