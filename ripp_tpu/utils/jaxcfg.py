@@ -19,6 +19,19 @@ def setup() -> None:
         return
     import jax
 
+    # XLA:CPU's LLVM JIT allocates one code/data mapping per compiled
+    # section; the big Miller/shard_map modules push a process past the
+    # default vm.max_map_count=65530, which surfaces as spurious
+    # "LLVM compilation error: Cannot allocate memory" (then SIGSEGV)
+    # with 100+ GB free.  Raise the limit when we can (root build VM).
+    try:
+        with open("/proc/sys/vm/max_map_count") as fh:
+            if int(fh.read()) < 1048576:
+                with open("/proc/sys/vm/max_map_count", "w") as fw:
+                    fw.write("1048576")
+    except (OSError, ValueError):
+        pass
+
     # Platform-split caches: with PALLAS_AXON_REMOTE_COMPILE the TPU-side
     # entries are compiled on a DIFFERENT x86 host (the terminal side of
     # the tunnel); loading those AOT results into local XLA:CPU trips

@@ -30,3 +30,14 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# LLVM's JIT makes one mapping per compiled code section; big Miller /
+# shard_map modules exhaust the default vm.max_map_count=65530 ("LLVM
+# compilation error: Cannot allocate memory" + SIGSEGV with RAM free).
+try:
+    with open("/proc/sys/vm/max_map_count") as _fh:
+        if int(_fh.read()) < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as _fw:
+                _fw.write("1048576")
+except (OSError, ValueError):
+    pass
