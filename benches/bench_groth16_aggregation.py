@@ -1,16 +1,15 @@
 """Groth16 aggregation bench (benches/benches/groth16_aggregation parity).
 
 Schemes emitted (CSV `trial,num_proofs,scheme,function,time` on stdout):
-  single_circuit  per-proof proving + random-linear-combination BATCH
-                  verification (the reference's batch_verify_proof,
-                  bench.rs:528-595)
-  ipa             IPP aggregation (setup / aggregate / verify)
-
-The reference's other two schemes need an in-circuit Groth16 verifier
-(R1CS gadget machinery): `olr` (BW6-761 one-layer recursion, bench.rs:
-413-458) and `complete_circuit` (monolithic proof, bench.rs:470-526).
-The CLI accepts their flags for parity and emits an explicit `skipped`
-row instead of silently dropping them.
+  single_circuit    per-proof proving + random-linear-combination BATCH
+                    verification (the reference's batch_verify_proof,
+                    bench.rs:528-595)
+  ipa               IPP aggregation (setup / aggregate / verify)
+  olr               BW6-761 one-layer recursion: one outer Groth16 proof
+                    verifying all n BLS12-377 inner proofs in-circuit
+                    (bench.rs:413-458; enable with bench_rec=true)
+  complete_circuit  one monolithic Groth16 proof of all n Blake2s
+                    instances (bench.rs:470-526; enable with mono=true)
 
 Usage: python -m benches.bench_groth16_aggregation \
          [trials] [num_proofs] [bench_rec] [gen_all] [mono]
@@ -99,10 +98,42 @@ def main():
         csv(trial, n, "ipa", "verify", ms)
 
     if bench_rec:
-        csv(0, n, "olr", "skipped", 0.0)
-        print("# olr (BW6-761 one-layer recursion) requires an in-circuit "
-              "Groth16 verifier; not implemented in this round (the "
-              "BW6-761 curve + pairing exist, host/bw6.py)", flush=True)
+        # olr (bench.rs:413-458): ONE BW6-761 Groth16 proof whose circuit
+        # verifies all n inner proofs in-circuit
+        # (applications/groth16_recursion.py; ~38k constraints per
+        # verified proof).  The recursion needs the inner curve's base
+        # field to equal the outer scalar field, so the inner proofs are
+        # generated on BLS12-377 (like the reference bench, bench.rs:1).
+        from ripp_tpu.applications.groth16_recursion import (
+            build_verifier_circuit,
+        )
+        from ripp_tpu.host.curves import bls12_377, bw6_761
+
+        cv377 = bls12_377()
+        bw6 = bw6_761()
+        cs377, z0_377, _ = build_blake2s_circuit(cv377.r, rand_input(0))
+        pk377 = groth16.setup(cv377, cs377, rng)
+        inner, inner_pubs = [], []
+        for i in range(n):
+            cs_i, z_i, _ = build_blake2s_circuit(cv377.r, rand_input(i))
+            pf, _ = timed(groth16.prove, cv377, pk377, cs377, z_i, rng)
+            inner.append(pf)
+            inner_pubs.append(z_i[1:cs377.num_public + 1])
+        (rc_cs, rc_z), ms = timed(
+            build_verifier_circuit, pk377.vk, inner_pubs, inner, 32, cv377
+        )
+        csv(0, n, "olr", "synthesize", ms)
+        opk, ms = timed(groth16.setup, bw6, rc_cs, rng)
+        csv(0, n, "olr", "setup", ms)
+        for trial in range(trials):
+            oprf, ms = timed(groth16.prove, bw6, opk, rc_cs, rc_z, rng)
+            csv(trial, n, "olr", "prove", ms)
+            ok, ms = timed(
+                groth16.verify, bw6, opk.vk,
+                rc_z[1:rc_cs.num_public + 1], oprf,
+            )
+            assert ok, "olr verification failed"
+            csv(trial, n, "olr", "verify", ms)
     if mono:
         # complete_circuit (bench.rs:470-526): ONE monolithic Groth16
         # proof covering all n Blake2s evaluations -- n independent

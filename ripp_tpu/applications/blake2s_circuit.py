@@ -4,10 +4,13 @@ knowledge of a Blake2s-PRF preimage per aggregated proof).
 
 Statement: public = the 8 output words (u32, one field element each);
 witness = the 32-byte input.  The circuit computes one Blake2s-256
-compression of the 64-byte block [seed(=0^32) || input] -- the keyed-PRF
-framing of ark-crypto-primitives is approximated with a fixed zero seed
-block (same gadget structure and constraint shape; exact byte-level PRF
-parity is irrelevant here since fixtures are self-generated).
+compression of the 64-byte block [seed(=0^32) || input].  This is
+bit-exact to the reference workload: ark-crypto-primitives' Blake2s PRF
+is the UNKEYED hash of seed||input (update(seed); update(input) in
+prf/blake2s, and the R1CS gadget concatenates the same way), and the
+bench fixes seed = UInt8::constant_vec(&[0; 32]) (bench.rs:38).
+blake2s_prf(input) == hashlib.blake2s(b"\\0"*32 + input).digest()
+(asserted in tests/test_ntt_blake2s.py).
 
 Gadget encoding (standard bit-decomposition style):
   * every u32 is 32 bit wires; bits are affine LinCombs so XOR with a

@@ -392,18 +392,27 @@ def prepare_inputs(curve: PairingCurve, vk: VerifyingKey,
     return acc
 
 
-def verify(curve: PairingCurve, vk: VerifyingKey,
+def verify(curve, vk: VerifyingKey,
            public_inputs: Sequence[int], proof: Proof) -> bool:
+    """Groth16 verification over a BLS12 PairingCurve or BW6Curve (the
+    latter powers the one-layer-recursion outer proofs; its pairing lives
+    in host/bw6.py)."""
     g_ic = prepare_inputs(curve, vk, public_inputs)
-    lhs = hp.pairing(curve, proof.a, proof.b)
-    rhs = hp.gt_mul(
-        curve,
-        hp.gt_mul(
-            curve,
-            hp.pairing(curve, vk.alpha_g1, vk.beta_g2),
-            hp.pairing(curve, g_ic, vk.gamma_g2),
+    if hasattr(curve, "tower"):
+        pair = lambda P, Q: hp.pairing(curve, P, Q)  # noqa: E731
+        gt_mul = lambda a, b: hp.gt_mul(curve, a, b)  # noqa: E731
+    else:
+        from ..host.bw6 import BW6Pairing
+
+        pr = BW6Pairing(curve)
+        pair, gt_mul = pr.pairing, pr.gt_mul
+    lhs = pair(proof.a, proof.b)
+    rhs = gt_mul(
+        gt_mul(
+            pair(vk.alpha_g1, vk.beta_g2),
+            pair(g_ic, vk.gamma_g2),
         ),
-        hp.pairing(curve, proof.c, vk.delta_g2),
+        pair(proof.c, vk.delta_g2),
     )
     return lhs == rhs
 

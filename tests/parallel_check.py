@@ -110,11 +110,17 @@ def check_dryrun():
 
 
 PHASES = ("msm", "pairing", "sipp", "dryrun")
+# sipp381 is NOT in the default phase list: the full-width BLS12-381
+# sharded Miller program costs >40 min of XLA:CPU compile on this
+# 1-core host (warm .jax_cache_cpu: seconds).  Run it explicitly:
+#   python tests/parallel_check.py sipp381
+EXTRA_PHASES = ("sipp381",)
 
 
 def _run_phase(name: str) -> None:
     assert len(jax.devices()) >= 8, jax.devices()
-    ctx = dev_ctx("bls12_toy")
+    curve = "bls12_381" if name.endswith("381") else "bls12_toy"
+    ctx = dev_ctx(curve)
     mesh = data_mesh(jax.devices()[:8])
     if name == "msm":
         check_sharded_msm(ctx, mesh)
@@ -122,6 +128,10 @@ def _run_phase(name: str) -> None:
         check_sharded_multi_pairing(ctx, mesh)
     elif name == "sipp":
         check_sharded_sipp_byte_identical(ctx, mesh)
+    elif name == "sipp381":
+        # the real-curve protocol-level contract (round-1 verdict #3):
+        # byte-identical sharded proving at n=16 on BLS12-381
+        check_sharded_sipp_byte_identical(ctx, mesh, n=16)
     elif name == "dryrun":
         check_dryrun()
     else:

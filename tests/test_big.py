@@ -338,3 +338,43 @@ def test_setup_device_matches_host():
         (pk2.vk.alpha_g1, pk2.beta_g1, pk2.delta_g1)
     assert (pk1.vk.beta_g2, pk1.vk.gamma_g2, pk1.vk.delta_g2) == \
         (pk2.vk.beta_g2, pk2.vk.gamma_g2, pk2.vk.delta_g2)
+
+
+def test_olr_one_layer_recursion():
+    """The reference's `olr` scheme end-to-end (bench.rs:413-458): one
+    BW6-761 Groth16 proof verifying a BLS12-377 Groth16 proof in-circuit
+    (~38k constraints/verified proof; host-native outer prover)."""
+    import time
+
+    from ripp_tpu.applications import groth16
+    from ripp_tpu.applications.groth16_recursion import (
+        build_verifier_circuit,
+    )
+    from ripp_tpu.host.curves import bls12_377, bw6_761
+    from ripp_tpu.utils.fiat_shamir import SeededRng
+
+    cv = bls12_377()
+    bw6 = bw6_761()
+    cs_in = groth16.sum_circuit(4)
+    pk = groth16.setup(cv, cs_in, SeededRng(31))
+    z = groth16.sum_circuit_assignment(cs_in, [3, 4, 5, 6], 18, cv.r)
+    prf = groth16.prove(cv, pk, cs_in, z, SeededRng(32))
+    pubs = z[1:cs_in.num_public + 1]
+
+    t0 = time.perf_counter()
+    rc_cs, rc_z = build_verifier_circuit(pk.vk, [pubs], [prf], 32, cv)
+    print(f"\nolr circuit: {len(rc_cs.constraints)} constraints "
+          f"({time.perf_counter()-t0:.1f} s)")
+    t0 = time.perf_counter()
+    opk = groth16.setup(bw6, rc_cs, SeededRng(41))
+    print(f"outer setup: {time.perf_counter()-t0:.1f} s")
+    t0 = time.perf_counter()
+    oprf = groth16.prove(bw6, opk, rc_cs, rc_z, SeededRng(42))
+    print(f"outer prove: {time.perf_counter()-t0:.1f} s")
+    t0 = time.perf_counter()
+    ok = groth16.verify(bw6, opk.vk, rc_z[1:rc_cs.num_public + 1], oprf)
+    print(f"outer verify: {time.perf_counter()-t0:.2f} s")
+    assert ok
+    bad = list(rc_z[1:rc_cs.num_public + 1])
+    bad[0] = (bad[0] + 1) % bw6.r
+    assert not groth16.verify(bw6, opk.vk, bad, oprf)
