@@ -63,5 +63,36 @@ def main():
     }))
 
 
+def _backend_alive(timeout_s: int = 900) -> bool:
+    """Probe the pinned JAX backend in a subprocess with a hard timeout.
+
+    A wedged axon tunnel makes jax.devices() hang for 30+ minutes (the
+    remote chip claim must expire first); without this guard the bench
+    would hang the whole harness instead of reporting failure."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jnp.arange(4).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
-    main()
+    if _backend_alive():
+        main()
+    else:
+        print(json.dumps({
+            "metric": "pairing_product_throughput_n256_bls12_381",
+            "value": 0.0,
+            "unit": "pairings/s",
+            "vs_baseline": 0.0,
+            "error": "JAX backend unavailable (axon TPU tunnel down); "
+                     "last measured value: see BASELINE.md",
+        }))

@@ -107,10 +107,12 @@ def main():
         from ripp_tpu.applications.groth16_recursion import (
             build_verifier_circuit,
         )
-        from ripp_tpu.host.curves import bls12_377, bw6_761
+        from ripp_tpu.host.curves import bls12_377
+        from ripp_tpu.ops.points import bw6_dev_ctx
 
         cv377 = bls12_377()
-        bw6 = bw6_761()
+        bctx = bw6_dev_ctx()
+        bw6 = bctx.host
         cs377, z0_377, _ = build_blake2s_circuit(cv377.r, rand_input(0))
         pk377 = groth16.setup(cv377, cs377, rng)
         inner, inner_pubs = [], []
@@ -123,10 +125,19 @@ def main():
             build_verifier_circuit, pk377.vk, inner_pubs, inner, 32, cv377
         )
         csv(0, n, "olr", "synthesize", ms)
-        opk, ms = timed(groth16.setup, bw6, rc_cs, rng)
+        # outer setup+prove run device-batched over BW6DevCtx (48-limb
+        # Fp kernels); GT-side verification stays on host (host/bw6.py)
+        opk, ms = timed(groth16.setup_device, bctx, rc_cs, rng)
         csv(0, n, "olr", "setup", ms)
         for trial in range(trials):
-            oprf, ms = timed(groth16.prove, bw6, opk, rc_cs, rc_z, rng)
+            def olr_prove():
+                A, B2, C = groth16.prove_batch(
+                    bctx, opk, rc_cs, [rc_z], rng
+                )
+                return groth16.Proof(a=A.to_host()[0], b=B2.to_host()[0],
+                                     c=C.to_host()[0])
+
+            oprf, ms = timed(olr_prove)
             csv(trial, n, "olr", "prove", ms)
             ok, ms = timed(
                 groth16.verify, bw6, opk.vk,

@@ -116,3 +116,63 @@ class DevCurveCtx:
 @functools.lru_cache(maxsize=None)
 def dev_ctx(curve_name: str) -> DevCurveCtx:
     return DevCurveCtx(dev_tower(curve_name))
+
+
+class _BW6FieldShim:
+    """Minimal DevTower stand-in for BW6-761's group side: both G1 and G2
+    live over Fp (761-bit, 48 limbs), scalars over Fr = BLS12-377's base
+    field (377-bit, 24 limbs).  No tower — BW6's GT math stays on host
+    (host/bw6.py); this shim only feeds the group/MSM kernels."""
+
+    def __init__(self, curve):
+        from .fp import DevFp, make_spec
+
+        self.curve = curve
+        self.spec_fp = make_spec(curve.name + ".fp", curve.p)
+        self.spec_fr = make_spec(curve.name + ".fr", curve.r)
+        self.fp = DevFp(self.spec_fp)
+        self.fr = DevFp(self.spec_fr)
+
+    def fp_to_dev(self, vals):
+        return jnp.asarray(self.spec_fp.to_mont_limbs(
+            [v if isinstance(v, int) else int(v) for v in vals]
+        ))
+
+    def fp_from_dev(self, tree):
+        return self.spec_fp.from_mont_limbs(tree)
+
+    def fr_to_dev(self, ints):
+        return jnp.asarray(self.spec_fr.to_mont_limbs(list(ints)))
+
+    def fr_from_dev(self, arr):
+        return self.spec_fr.from_mont_limbs(arr)
+
+
+class BW6DevCtx(DevCurveCtx):
+    """Device context for BW6-761's groups (G1 and G2 are both over Fp:
+    G2 is a sextic twist over the same base field, host/curves.py:247-264).
+    Supports the PointVec/FrVec + fixed-base/Pippenger MSM surface used by
+    the device-batched Groth16 prover (applications/groth16.py
+    setup_device/prove_batch), so `olr`/`complete_circuit` outer proofs
+    can ride the chip.  Pairing-side (GT) ops stay on host."""
+
+    def __init__(self, curve):
+        self.t = _BW6FieldShim(curve)
+        self.host = curve
+        self._bits_jits = {}
+        fp = self.t.fp
+        self.g1 = DevSWCurve(fp, fp.const(3 * curve.g1.b % curve.p),
+                             name=curve.name + ".dev.g1")
+        self.g2 = DevSWCurve(fp, fp.const(3 * curve.g2.b % curve.p),
+                             name=curve.name + ".dev.g2")
+
+    # G2 affine points are (x, y) host ints, same layout as G1
+    g2_to_dev = DevCurveCtx.g1_to_dev
+    g2_from_dev = DevCurveCtx.g1_from_dev
+
+
+@functools.lru_cache(maxsize=None)
+def bw6_dev_ctx() -> BW6DevCtx:
+    from ..host.curves import bw6_761
+
+    return BW6DevCtx(bw6_761())

@@ -194,6 +194,42 @@ def test_poly_commit_2_16():
     assert ok
 
 
+def test_poly_commit_transparent_2_16():
+    """BASELINE config 4 twin: TRANSPARENT two-tier PC open/verify at
+    degree 2^16 - 1 (the reference's #[ignore] test scale,
+    poly_commit/transparent.rs:364-367)."""
+    import time
+
+    from ripp_tpu.applications import poly_commit_transparent as tpc
+    from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
+    from ripp_tpu.utils.poly import poly_eval
+
+    ctx = _ctx()
+    r = ctx.host.r
+    rng = SeededRng(37)
+    degree = (1 << 16) - 1
+    coeffs = [rand_field(rng, r) for _ in range(degree + 1)]
+
+    t0 = time.perf_counter()
+    ck = tpc.setup_univariate(ctx, rng, degree)
+    print(f"\ntransparent PC setup 2^16: {time.perf_counter()-t0:.1f} s")
+
+    t0 = time.perf_counter()
+    com, y_coms = tpc.commit_univariate(ctx, ck, coeffs)
+    print(f"transparent PC commit 2^16: {time.perf_counter()-t0:.1f} s")
+
+    z = rand_field(rng, r)
+    t0 = time.perf_counter()
+    proof = tpc.open_univariate(ctx, ck, coeffs, y_coms, z)
+    open_s = time.perf_counter() - t0
+    ev = poly_eval(coeffs, z, r)
+    t0 = time.perf_counter()
+    ok = tpc.verify_univariate(ctx, ck, com, z, ev, proof)
+    verify_s = time.perf_counter() - t0
+    print(f"transparent PC open 2^16: {open_s:.1f} s, verify {verify_s:.2f} s")
+    assert ok
+
+
 def test_blake2s_groth16_roundtrip():
     """The reference bench's actual workload: a Groth16 proof of Blake2s
     preimage knowledge (bench.rs:30-75), ~21.5k constraints through the
@@ -338,6 +374,46 @@ def test_setup_device_matches_host():
         (pk2.vk.alpha_g1, pk2.beta_g1, pk2.delta_g1)
     assert (pk1.vk.beta_g2, pk1.vk.gamma_g2, pk1.vk.delta_g2) == \
         (pk2.vk.beta_g2, pk2.vk.gamma_g2, pk2.vk.delta_g2)
+
+
+def test_olr_device_outer_prover():
+    """olr with the OUTER BW6-761 Groth16 setup+prove running device-
+    batched (BW6DevCtx: 48-limb Fp kernels, fixed-base window tables,
+    Pippenger MSM) instead of the native host ladders.  Cross-checks the
+    device pipeline against the host prover's verifier."""
+    import time
+
+    from ripp_tpu.applications import groth16
+    from ripp_tpu.applications.groth16_recursion import (
+        build_verifier_circuit,
+    )
+    from ripp_tpu.host.curves import bls12_377
+    from ripp_tpu.ops.points import bw6_dev_ctx
+    from ripp_tpu.utils.fiat_shamir import SeededRng
+
+    cv = bls12_377()
+    bctx = bw6_dev_ctx()
+    bw6 = bctx.host
+    cs_in = groth16.sum_circuit(4)
+    pk = groth16.setup(cv, cs_in, SeededRng(31))
+    z = groth16.sum_circuit_assignment(cs_in, [3, 4, 5, 6], 18, cv.r)
+    prf = groth16.prove(cv, pk, cs_in, z, SeededRng(32))
+    pubs = z[1:cs_in.num_public + 1]
+
+    rc_cs, rc_z = build_verifier_circuit(pk.vk, [pubs], [prf], 32, cv)
+    t0 = time.perf_counter()
+    opk = groth16.setup_device(bctx, rc_cs, SeededRng(41))
+    print(f"\nolr setup_device: {time.perf_counter()-t0:.1f} s")
+    t0 = time.perf_counter()
+    A, B2, C = groth16.prove_batch(bctx, opk, rc_cs, [rc_z], SeededRng(42))
+    oprf = groth16.Proof(a=A.to_host()[0], b=B2.to_host()[0],
+                         c=C.to_host()[0])
+    print(f"olr prove_batch (device): {time.perf_counter()-t0:.1f} s")
+    ok = groth16.verify(bw6, opk.vk, rc_z[1:rc_cs.num_public + 1], oprf)
+    assert ok
+    bad = list(rc_z[1:rc_cs.num_public + 1])
+    bad[0] = (bad[0] + 1) % bw6.r
+    assert not groth16.verify(bw6, opk.vk, bad, oprf)
 
 
 def test_olr_one_layer_recursion():

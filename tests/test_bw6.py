@@ -117,3 +117,30 @@ def test_bw6_tower_inverse(curve):
     b = (123, 456, 789)
     prod = t6._fp3_mul(b, t6._fp3_inv(b))
     assert prod == (1, 0, 0)
+
+
+def test_bw6_dev_ctx_roundtrip_and_msm(curve):
+    """BW6DevCtx (ops/points.py): G1/G2 host<->device round-trips and a
+    device Pippenger MSM vs the host ground truth.  This is the group
+    surface the device-batched outer Groth16 prover (olr) rides."""
+    from ripp_tpu.models.vectors import FrVec, PointVec
+    from ripp_tpu.ops.points import bw6_dev_ctx
+    from ripp_tpu.utils.fiat_shamir import SeededRng, rand_field
+
+    ctx = bw6_dev_ctx()
+    assert ctx.host is curve or ctx.host.p == curve.p
+    host = ctx.host
+    for grp, g, gen in (("g1", host.g1, host.g1_gen),
+                        ("g2", host.g2, host.g2_gen)):
+        pts = [g.scalar_mul(gen, 2 * i + 3) for i in range(4)] + [None]
+        pv = PointVec.from_host(ctx, grp, pts)
+        assert pv.to_host() == pts
+
+    rng = SeededRng(3)
+    pts = [host.g1.scalar_mul(host.g1_gen, i + 2) for i in range(8)]
+    ks = [rand_field(rng, host.r) for _ in range(8)]
+    got = PointVec.from_host(ctx, "g1", pts).msm(FrVec.from_ints(ctx, ks))
+    expect = None
+    for p, k in zip(pts, ks):
+        expect = host.g1.add(expect, host.g1.scalar_mul(p, k))
+    assert host.g1.eq(got, expect)
