@@ -46,66 +46,76 @@ TILE_E = BS * 128
 MIN_PALLAS_BATCH = 256
 
 
-def _mul_kernel(nl: int, p_limbs, n0inv: int):
-    """Build the unrolled CIOS kernel body for a given modulus.
+def mont_mul_limbs(nl: int, p_limbs, n0inv: int, a, b):
+    """Unrolled CIOS Montgomery product on lists of per-limb arrays.
 
-    All limb indices are Python ints, fully unrolled: the kernel is
-    straight-line VPU code with no gathers, scans, or scatters.
+    a, b: length-nl lists of uint32 arrays (any equal shape, limbs < 2^16,
+    value < p). Returns the canonical product limbs as a list. This is the
+    shared body of the standalone fp_mul kernel AND every fused program
+    kernel (ops/kexec.py), so kernel-variant sweeps improve both.
+    All limb indices are Python ints, fully unrolled: straight-line VPU
+    code with no gathers, scans, or scatters.
     """
     mask = LIMB_MASK
     n0 = int(n0inv)
     pl_consts = [int(v) for v in p_limbs]
+    zero = jnp.zeros_like(a[0])
+
+    # Schoolbook product in redundant form: acc[k] holds value*2^(16k),
+    # each < 48*(2^16-1) < 2^22 so uint32 never overflows.
+    # Interleaved accumulate (NOT pre-computing all products then adding:
+    # swept on v5e, holding nl live products raises register pressure and
+    # loses ~20% -- 213 vs 258 M muls/s).
+    acc = [zero] * (2 * nl)
+    for i in range(nl):
+        ai = a[i]
+        for j in range(nl):
+            pr = ai * b[j]
+            acc[i + j] = acc[i + j] + (pr & mask)
+            acc[i + j + 1] = acc[i + j + 1] + (pr >> LIMB_BITS)
+
+    # Montgomery reduction: nl rounds, each cancels the lowest limb by
+    # adding m*p (m = acc0 * -p^-1 mod 2^16) and shifts down one limb
+    # (the shift is just list renaming -- free in unrolled code).
+    for _ in range(nl):
+        m = ((acc[0] & mask) * n0) & mask
+        for j in range(nl):
+            q = m * pl_consts[j]
+            acc[j] = acc[j] + (q & mask)
+            acc[j + 1] = acc[j + 1] + (q >> LIMB_BITS)
+        acc[1] = acc[1] + (acc[0] >> LIMB_BITS)
+        acc = acc[1:]
+
+    # acc now has nl redundant limbs of U = (a*b + m*p)/R < 2p.
+    # Sequential carry normalization to 16-bit limbs.
+    res = []
+    c = zero
+    for k in range(nl):
+        v = acc[k] + c
+        res.append(v & mask)
+        c = v >> LIMB_BITS
+    # U < 2p < 2^(16*nl) so the final carry is always zero.
+
+    # Conditional subtract p (one pass suffices since U < 2p).
+    diff = []
+    borrow = zero
+    for k in range(nl):
+        v = res[k] + ((1 << LIMB_BITS) - pl_consts[k]) - borrow
+        diff.append(v & mask)
+        borrow = 1 - (v >> LIMB_BITS)
+    geq = borrow == 0  # res >= p
+    return [jnp.where(geq, diff[k], res[k]) for k in range(nl)]
+
+
+def _mul_kernel(nl: int, p_limbs, n0inv: int):
+    """Standalone batched-mul kernel over the shared CIOS body."""
 
     def kernel(a_ref, b_ref, o_ref):
         a = [a_ref[i, 0] for i in range(nl)]
         b = [b_ref[i, 0] for i in range(nl)]
-        zero = jnp.zeros_like(a[0])
-
-        # Schoolbook product in redundant form: acc[k] holds value*2^(16k),
-        # each < 48*(2^16-1) < 2^22 so uint32 never overflows.
-        # Interleaved accumulate (NOT pre-computing all products then adding:
-        # swept on v5e, holding nl live products raises register pressure and
-        # loses ~20% -- 213 vs 258 M muls/s).
-        acc = [zero] * (2 * nl)
-        for i in range(nl):
-            ai = a[i]
-            for j in range(nl):
-                pr = ai * b[j]
-                acc[i + j] = acc[i + j] + (pr & mask)
-                acc[i + j + 1] = acc[i + j + 1] + (pr >> LIMB_BITS)
-
-        # Montgomery reduction: nl rounds, each cancels the lowest limb by
-        # adding m*p (m = acc0 * -p^-1 mod 2^16) and shifts down one limb
-        # (the shift is just list renaming -- free in unrolled code).
-        for _ in range(nl):
-            m = ((acc[0] & mask) * n0) & mask
-            for j in range(nl):
-                q = m * pl_consts[j]
-                acc[j] = acc[j] + (q & mask)
-                acc[j + 1] = acc[j + 1] + (q >> LIMB_BITS)
-            acc[1] = acc[1] + (acc[0] >> LIMB_BITS)
-            acc = acc[1:]
-
-        # acc now has nl redundant limbs of U = (a*b + m*p)/R < 2p.
-        # Sequential carry normalization to 16-bit limbs.
-        res = []
-        c = zero
+        out = mont_mul_limbs(nl, p_limbs, n0inv, a, b)
         for k in range(nl):
-            v = acc[k] + c
-            res.append(v & mask)
-            c = v >> LIMB_BITS
-        # U < 2p < 2^(16*nl) so the final carry is always zero.
-
-        # Conditional subtract p (one pass suffices since U < 2p).
-        diff = []
-        borrow = zero
-        for k in range(nl):
-            v = res[k] + ((1 << LIMB_BITS) - pl_consts[k]) - borrow
-            diff.append(v & mask)
-            borrow = 1 - (v >> LIMB_BITS)
-        geq = borrow == 0  # res >= p
-        for k in range(nl):
-            o_ref[k, 0] = jnp.where(geq, diff[k], res[k])
+            o_ref[k, 0] = out[k]
 
     return kernel
 

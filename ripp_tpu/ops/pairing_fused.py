@@ -1,0 +1,382 @@
+"""Fused Pallas Miller loop: the whole batched loop in ONE kernel launch.
+
+Round-2 profiling showed the scan-based Miller loop (ops/pairing.py) is
+launch/glue-bound at protocol sizes: ~5 Pallas mul launches + dozens of
+XLA elementwise kernels + layout transposes per doubling step, ~70 steps.
+Here the entire loop runs inside one kernel: the Miller accumulator f,
+the running point T and the pair inputs stay resident in a VMEM register
+file across all steps; per step the only "launch" is a fori_loop
+iteration.
+
+The doubling/addition step formulas are traced into kprog programs from
+the SAME math as ops/pairing.py (CLN-style combined doubling+line,
+eprint 2010/526 family; sparse 13/14-product line multiplication;
+RCB15 complete addition from ops/curve.py for the T update) - op-for-op,
+so the fused kernel's Miller values are BIT-IDENTICAL to the scan path
+and differentially testable against it.
+
+Replaces the multi-Miller-loop half of ark-ec Pairing::multi_miller_loop
+as consumed by the reference at
+/root/reference/inner_products/src/lib.rs:110-115.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fp import FieldSpec
+from .kexec import TILE, exec_segments, mul_table, read_reg, write_reg
+from .kprog import KProg, ProgFp, Scheduled, prog_tower, schedule
+
+
+def _build_step_progs(curve):
+    """Trace the Miller doubling and addition step programs.
+
+    Both programs declare the SAME pinned input layout so the kernel can
+    keep protocol state in the input registers between steps:
+      f (12 Fp), X, Y, Z (6 Fp as 3 Fp2), qx, qy (4 Fp), xP, yP (2 Fp).
+    Outputs: new f (12), new X, Y, Z (6).
+    """
+
+    def declare(prog):
+        f = tuple(
+            tuple(tuple(prog.inp() for _ in range(2)) for _ in range(3))
+            for _ in range(2)
+        )
+        X = (prog.inp(), prog.inp())
+        Y = (prog.inp(), prog.inp())
+        Z = (prog.inp(), prog.inp())
+        qx = (prog.inp(), prog.inp())
+        qy = (prog.inp(), prog.inp())
+        xP = prog.inp()
+        yP = prog.inp()
+        return f, X, Y, Z, qx, qy, xP, yP
+
+    twist = curve.twist_type
+
+    def line_coeffs(t, fp, F2, mul_xi, cy_yP, cx_xP, c0):
+        # ops/pairing.py _line_coeffs_post_eval
+        if twist == "D":
+            return (cy_yP, cx_xP, c0)
+        return (mul_xi(cy_yP), c0, cx_xP)
+
+    def mul_by_line(F2, F6, mul_xi, f, coeffs):
+        """ops/pairing.py _mul_by_line, same sub-product structure."""
+        nr = mul_xi
+        f0, f1 = f
+        f00, f01, f02 = f0
+        f10, f11, f12 = f1
+        if twist == "D":
+            a0, a1, a3 = coeffs
+            s01 = F2.add(f10, f11)
+            b01 = F2.add(a1, a3)
+            g0, g1, g2_ = F2.add(f00, f10), F2.add(f01, f11), F2.add(f02, f12)
+            c01 = F2.add(a0, a1)
+            sg01 = F2.add(g0, g1)
+            v00 = F2.mul(f00, a0)
+            v01 = F2.mul(f01, a0)
+            v02 = F2.mul(f02, a0)
+            m0 = F2.mul(f10, a1)
+            m1 = F2.mul(f11, a3)
+            tt = F2.mul(s01, b01)
+            p4 = F2.mul(f12, a3)
+            p5 = F2.mul(f12, a1)
+            n0 = F2.mul(g0, c01)
+            n1 = F2.mul(g1, a3)
+            nt = F2.mul(sg01, F2.add(c01, a3))
+            n4 = F2.mul(g2_, a3)
+            n5 = F2.mul(g2_, c01)
+            v1 = (
+                F2.add(m0, nr(p4)),
+                F2.sub(F2.sub(tt, m0), m1),
+                F2.add(p5, m1),
+            )
+            w_ = (
+                F2.add(n0, nr(n4)),
+                F2.sub(F2.sub(nt, n0), n1),
+                F2.add(n5, n1),
+            )
+            v0 = (v00, v01, v02)
+        else:
+            a0, a3, a5 = coeffs
+            s12 = F2.add(f11, f12)
+            b12 = F2.add(a3, a5)
+            g0, g1, g2_ = F2.add(f00, f10), F2.add(f01, f11), F2.add(f02, f12)
+            v00 = F2.mul(f00, a0)
+            v01 = F2.mul(f01, a0)
+            v02 = F2.mul(f02, a0)
+            m1 = F2.mul(f11, a3)
+            m2 = F2.mul(f12, a5)
+            tt = F2.mul(s12, b12)
+            p1 = F2.mul(f10, a3)
+            p2 = F2.mul(f10, a5)
+            w0 = F2.mul(g0, a0)
+            w1 = F2.mul(g1, a3)
+            w2 = F2.mul(g2_, a5)
+            t01 = F2.mul(F2.add(g0, g1), F2.add(a0, a3))
+            t02 = F2.mul(F2.add(g0, g2_), F2.add(a0, a5))
+            t12 = F2.mul(F2.add(g1, g2_), b12)
+            v1 = (
+                nr(F2.sub(F2.sub(tt, m1), m2)),
+                F2.add(p1, nr(m2)),
+                F2.add(p2, m1),
+            )
+            v0 = (v00, v01, v02)
+            w_ = (
+                F2.add(w0, nr(F2.sub(F2.sub(t12, w1), w2))),
+                F2.add(F2.sub(F2.sub(t01, w0), w1), nr(w2)),
+                F2.add(F2.sub(F2.sub(t02, w0), w2), w1),
+            )
+        c0_ = tuple(
+            F2.add(v, mv)
+            for v, mv in zip(v0, (nr(v1[2]), v1[0], v1[1]))
+        )  # v0 + nr6 * v1 (F6.mul_by_x then F6.add)
+        c1_ = tuple(F2.sub(F2.sub(w, v), u) for w, v, u in zip(w_, v0, v1))
+        return (c0_, c1_)
+
+    def fp2_mul_small(F2, fp, a, k):
+        return (fp.mul_small(a[0], k), fp.mul_small(a[1], k))
+
+    def fp2_scale_fp(F2, fp, a, s):
+        return (fp.mul(a[0], s), fp.mul(a[1], s))
+
+    # 3*b' twist constant as a host fp2 tuple (ops/points.py:34)
+    b3h = curve.tower.fp2.mul_int(curve.g2.b, 3)
+
+    # ---- doubling step program ----------------------------------------------
+    dbl = KProg("miller_dbl")
+    fp, F2, F6, F12, mul_xi = prog_tower(dbl, curve)
+    f, X, Y, Z, qx, qy, xP, yP = declare(dbl)
+    b3 = (fp.const(b3h[0]), fp.const(b3h[1]))
+    f = F12.sqr(f)
+    B = F2.mul(Y, Y)
+    C = F2.mul(Z, Z)
+    A = F2.mul(X, Y)
+    X2 = F2.mul(X, X)
+    YZ2 = F2.mul(F2.add(Y, Z), F2.add(Y, Z))
+    Zb = F2.mul(Z, b3)
+    H = F2.sub(F2.sub(YZ2, B), C)
+    cy = F2.neg(H)
+    cx = fp2_mul_small(F2, fp, X2, 3)
+    E = F2.mul(Zb, Z)
+    cy_yP = fp2_scale_fp(F2, fp, cy, yP)
+    cx_xP = fp2_scale_fp(F2, fp, cx, xP)
+    F_ = fp2_mul_small(F2, fp, E, 3)
+    G = F2.add(B, F_)
+    c0 = F2.sub(E, B)
+    AX = F2.mul(A, F2.sub(B, F_))
+    GG = F2.mul(G, G)
+    EE = F2.mul(E, E)
+    BH = F2.mul(B, H)
+    X3 = fp2_mul_small(F2, fp, AX, 2)
+    Y3 = F2.sub(GG, fp2_mul_small(F2, fp, EE, 12))
+    Z3 = fp2_mul_small(F2, fp, BH, 4)
+    f = mul_by_line(F2, F6, mul_xi,
+                    f, line_coeffs(None, fp, F2, mul_xi, cy_yP, cx_xP, c0))
+    dbl.out([x for h in f for p2 in h for x in p2]
+            + list(X3) + list(Y3) + list(Z3))
+
+    # ---- addition step program ----------------------------------------------
+    add = KProg("miller_add")
+    fp, F2, F6, F12, mul_xi = prog_tower(add, curve)
+    f, X, Y, Z, qx, qy, xP, yP = declare(add)
+    b3 = (fp.const(b3h[0]), fp.const(b3h[1]))
+    qyZ = F2.mul(qy, Z)
+    qxZ = F2.mul(qx, Z)
+    theta = F2.sub(Y, qyZ)
+    lam = F2.sub(X, qxZ)
+    tqx = F2.mul(theta, qx)
+    lqy = F2.mul(lam, qy)
+    cy_yP = fp2_scale_fp(F2, fp, lam, yP)
+    cx_xP = fp2_scale_fp(F2, fp, F2.neg(theta), xP)
+    c0 = F2.sub(tqx, lqy)
+    f = mul_by_line(F2, F6, mul_xi,
+                    f, line_coeffs(None, fp, F2, mul_xi, cy_yP, cx_xP, c0))
+    # RCB15 complete addition with Q = (qx, qy, 1) (ops/curve.py add)
+    one2 = (fp.one(), fp.zero())
+    X1, Y1, Z1 = X, Y, Z
+    X2_, Y2_, Z2_ = qx, qy, one2
+    m_xx = F2.mul(X1, X2_)
+    m_yy = F2.mul(Y1, Y2_)
+    m_zz = F2.mul(Z1, Z2_)
+    m_xy = F2.mul(F2.add(X1, Y1), F2.add(X2_, Y2_))
+    m_yz = F2.mul(F2.add(Y1, Z1), F2.add(Y2_, Z2_))
+    m_xz = F2.mul(F2.add(X1, Z1), F2.add(X2_, Z2_))
+    t3 = F2.sub(m_xy, F2.add(m_xx, m_yy))
+    t4 = F2.sub(m_yz, F2.add(m_yy, m_zz))
+    ty = F2.sub(m_xz, F2.add(m_xx, m_zz))
+    t0 = F2.add(F2.add(m_xx, m_xx), m_xx)
+    t2 = F2.mul(b3, m_zz)
+    y3b = F2.mul(b3, ty)
+    z3s = F2.add(m_yy, t2)
+    t1s = F2.sub(m_yy, t2)
+    p_a = F2.mul(t4, y3b)
+    p_b = F2.mul(t3, t1s)
+    p_c = F2.mul(y3b, t0)
+    p_d = F2.mul(t1s, z3s)
+    p_e = F2.mul(t0, t3)
+    p_f = F2.mul(z3s, t4)
+    X3 = F2.sub(p_b, p_a)
+    Y3 = F2.add(p_d, p_c)
+    Z3 = F2.add(p_f, p_e)
+    add.out([x for h in f for p2 in h for x in p2]
+            + list(X3) + list(Y3) + list(Z3))
+
+    return (schedule(dbl, pin_inputs=True),
+            schedule(add, pin_inputs=True))
+
+
+class FusedMiller:
+    """One-launch batched Miller loop for a DevCurveCtx's curve."""
+
+    def __init__(self, ctx, interpret: bool = False):
+        self.ctx = ctx
+        self.interpret = interpret
+        host = ctx.host
+        self.spec = ctx.t.spec_fp
+        self.x_bits = tuple(int(b) for b in bin(abs(host.x))[3:])
+        self.dbl_sched, self.add_sched = _build_step_progs(host)
+        # shared state register layout (== pinned input registers)
+        self.n_state = 24  # f 12, X/Y/Z 6, qx/qy 4, xP/yP 2
+
+    @functools.cached_property
+    def _call(self):
+        spec = self.spec
+        nl = spec.nl
+        dbl_s, add_s = self.dbl_sched, self.add_sched
+        dbl_tab = mul_table(dbl_s)
+        add_tab = mul_table(add_s)
+        tab = np.concatenate([dbl_tab, add_tab], axis=0)
+        n_dbl = dbl_tab.shape[0]
+        bits_arr = np.asarray(self.x_bits, dtype=np.int32)
+        nbits = len(self.x_bits)
+        n_state = self.n_state
+        from .fp import int_to_limbs
+
+        one_row = int_to_limbs(spec.r % spec.p, nl)
+
+        n_regs = max(dbl_s.n_regs, add_s.n_regs)
+        # dbl and add share the input-register layout by construction
+        assert dbl_s.inputs == add_s.inputs == list(range(n_state))
+
+        def kernel(tab_ref, bits_ref, in_ref, out_ref, reg_ref):
+            # state init: f = 1 (fp12 one), T = (qx, qy, 1), inputs loaded
+            # input order in in_ref: qx(2), qy(2), xP, yP  -> 6 rows
+            zero = jnp.zeros((8, 128), jnp.uint32)
+            onel = [jnp.full((8, 128), np.uint32(one_row[i]), jnp.uint32)
+                    for i in range(nl)]
+            zl = [zero] * nl
+            # f = fp12 one: f[0] slot = one, rest zero (regs 0..11)
+            write_reg(reg_ref, 0, onel)
+            for r in range(1, 12):
+                write_reg(reg_ref, r, zl)
+            # X, Y = qx, qy ; Z = one2 (regs 12..17)
+            for k in range(4):  # X,Y from qx,qy input rows 0..3
+                write_reg(reg_ref, 12 + k,
+                          [in_ref[k, i, 0] for i in range(nl)])
+            write_reg(reg_ref, 16, onel)
+            write_reg(reg_ref, 17, zl)
+            # qx, qy (regs 18..21), xP, yP (22, 23)
+            for k in range(6):
+                write_reg(reg_ref, 18 + k,
+                          [in_ref[k, i, 0] for i in range(nl)])
+
+            def copy_outputs(sched):
+                # program outputs (18 regs: f 12 + T 6) -> state regs 0..17
+                for k, r in enumerate(sched.outputs):
+                    write_reg(reg_ref, k, read_reg(reg_ref, r))
+
+            def step(i, _):
+                exec_segments(spec, dbl_s, reg_ref, tab_ref, 0)
+                copy_outputs(dbl_s)
+
+                @pl.when(bits_ref[i] > 0)
+                def _():
+                    exec_segments(spec, add_s, reg_ref, tab_ref, n_dbl)
+                    copy_outputs(add_s)
+
+                return 0
+
+            jax.lax.fori_loop(0, nbits, step, 0)
+            for k in range(12):
+                v = read_reg(reg_ref, k)
+                for i in range(nl):
+                    out_ref[k, i, 0] = v[i]
+
+        def make(nb):
+            in_spec = pl.BlockSpec(
+                (6, nl, 1, 8, 128), lambda j: (0, 0, j, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec(
+                (12, nl, 1, 8, 128), lambda j: (0, 0, j, 0, 0),
+                memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM),
+                          in_spec],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (12, nl, nb, 8, 128), jnp.uint32),
+                scratch_shapes=[
+                    pltpu.VMEM((n_regs, nl, 8, 128), jnp.uint32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=self.interpret,
+            )
+
+        return make, jnp.asarray(tab), jnp.asarray(bits_arr)
+
+    def miller(self, xP, yP, qx, qy):
+        """Batched Miller f_{|x|,Q}(P): same contract as
+        DevPairing._miller_impl (bit-identical output), one launch."""
+        spec = self.spec
+        nl = spec.nl
+        bshape = xP.shape[:-1]
+        B = int(np.prod(bshape)) if bshape else 1
+        nb = -(-B // TILE)
+        pad = nb * TILE - B
+
+        def tile(x):
+            x = jnp.broadcast_to(x, bshape + (nl,)).reshape(B, nl)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, nl), jnp.uint32)], axis=0)
+            return x.T.reshape(nl, nb, 8, 128)
+
+        make, tab, bits = self._call
+        ins = jnp.stack([tile(qx[0]), tile(qx[1]), tile(qy[0]),
+                         tile(qy[1]), tile(xP), tile(yP)])
+        out = make(nb)(tab, bits, ins)
+
+        def untile(k):
+            o = out[k].reshape(nl, nb * TILE).T
+            if pad:
+                o = o[:B]
+            return o.reshape(*bshape, nl)
+
+        rows = [untile(k) for k in range(12)]
+        # rows are fp12 flat order: ((0,1),(2,3),(4,5)), ((6,7),(8,9),(10,11))
+        return (
+            ((rows[0], rows[1]), (rows[2], rows[3]), (rows[4], rows[5])),
+            ((rows[6], rows[7]), (rows[8], rows[9]), (rows[10], rows[11])),
+        )
+
+
+_FUSED = {}
+
+
+def fused_miller(ctx) -> FusedMiller:
+    key = id(ctx)
+    if key not in _FUSED:
+        _FUSED[key] = FusedMiller(ctx)
+    return _FUSED[key]
