@@ -1,11 +1,25 @@
 """Headline benchmark: batched pairing-product throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Diagnostics (correctness check, n-scaling sweep, roofline cross-check) go
+to stderr.
 
 The metric is full pairing-product throughput (batched Miller loops + Fq12
-product reduction, the hot kernel under SIPP/TIPP/AFGHO — SURVEY.md
+product reduction, the hot kernel under SIPP/TIPP/AFGHO - SURVEY.md
 section 2.1 rows 2-3) at n=256 pairs on BLS12-381 (BASELINE config 1 scale).
+
+Measurement protocol (round-4 rework; BENCH_r03's 1.22M pairs/s was a
+measurement artifact - see BASELINE.md "BENCH_r03 adjudication"):
+  * every timed iteration runs on FRESH input buffers (distinct device
+    arrays with distinct values, so no result can be replayed),
+  * every iteration is individually awaited (block_until_ready inside the
+    timed loop), matching how the reference harness times fresh work per
+    size (/root/reference/sipp/examples/scaling-ipp.rs:53-99),
+  * the device product is asserted equal to the host-Python pairing
+    product at n=8 before anything is timed,
+  * an n-scaling sweep (256/1024/4096) and an implied-Fp-muls/s roofline
+    line are printed so a physically impossible number is self-evident.
 
 vs_baseline: the reference publishes no numbers and this image has no Rust
 toolchain (BASELINE.md), so the denominator is an estimate of the reference
@@ -16,29 +30,114 @@ number when a Rust toolchain is available.
 """
 
 import json
+import os
+import sys
 import time
+
+# persist compiled executables across bench runs (same policy as
+# __graft_entry__.py; must be set before jax initializes a backend)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".jax_cache_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu"
+        else ".jax_cache",
+    ),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REF_PAIRS_PER_S_64CORE_EST = 160_000.0
 
-N = 256
+# Exact Fp-mul cost of one pairing in the fused Miller formulation,
+# counted from the kprog schedules (round 4): 115 muls/doubling x 63 +
+# 100 muls/addition x 5 = 7,745, plus ~54 for the per-pair share of the
+# Fq12 product tree. (The round 1-3 ~35k figure was an EFFECTIVE count
+# backed out of the scan path's wall clock; it bundled launch/layout
+# overhead into "muls".) Used only for the roofline sanity line.
+FP_MULS_PER_PAIR_EST = 7_800.0
+
+# Speed-of-light for the 16-bit-limb CIOS multiplier on one v5e chip:
+# ~6.1k VPU lane-ops per mul at the measured ~4T lane-ops/s peak
+# (BASELINE.md round-2 roofline analysis).
+FP_MULS_PER_S_CEILING = 650e6
+
+N_HEAD = 256
+# 256 and 2048 are CHUNK_TIERS shapes (ops/curve.py) - the executables the
+# protocol stack actually runs; 4096 exercises the 2-chunk loop and must
+# take ~2x the 2048 time (n-scaling sanity).
+SWEEP = (256, 2048, 4096)
 ITERS = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _fixture(ctx, n):
+    host = ctx.host
+    A = [host.g1.scalar_mul(host.g1_gen, 2 * i + 3) for i in range(n)]
+    B = [host.g2.scalar_mul(host.g2_gen, 3 * i + 5) for i in range(n)]
+    return A, B
+
+
+def _measure_mul_rate(ctx):
+    """Measured Montgomery-mul kernel throughput (roofline numerator).
+
+    Independent large-batch calls on distinct buffers, each individually
+    awaited - a dependent-call chain measures latency, not throughput, and
+    underestimates by ~10x."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    fp = ctx.t.fp
+    rng = np.random.default_rng(0)
+    batch = 1 << 20
+    nl = fp.spec.nl
+    top = int(fp.spec.p_limbs[-1])
+    ab = []
+    for k in range(4):
+        # uniform random limb arrays < p: free limbs full-range, top limb
+        # strictly below p's top limb (cheap, still field elements)
+        def draw():
+            x = rng.integers(0, 1 << 16, (batch, nl), dtype=np.uint32)
+            x[:, -1] = rng.integers(0, max(top, 1), batch, dtype=np.uint32)
+            return jnp.asarray(x)
+
+        ab.append((draw(), draw()))
+    mul_j = jax.jit(fp.mul)
+    jax.block_until_ready(mul_j(*ab[0]))
+    times = []
+    for a, b in ab[1:]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(mul_j(a, b))
+        times.append(time.perf_counter() - t0)
+    return batch / min(times)
 
 
 def main():
     import jax
+    import numpy as np
 
+    from ripp_tpu.host import pairing as hp
     from ripp_tpu.ops.pairing import dev_pairing
     from ripp_tpu.ops.points import dev_ctx
 
     ctx = dev_ctx("bls12_381")
     host = ctx.host
-
-    # deterministic fixture: small generator multiples (cheap on host)
-    A = [host.g1.scalar_mul(host.g1_gen, 2 * i + 3) for i in range(N)]
-    B = [host.g2.scalar_mul(host.g2_gen, 3 * i + 5) for i in range(N)]
-    dA, dB = ctx.g1_to_dev(A), ctx.g2_to_dev(B)
-
     dp = dev_pairing(ctx)
+
+    # ---- correctness gate: device product == host product at n=8 ---------
+    A8, B8 = _fixture(ctx, 8)
+    dev_gt = dp.multi_pairing(ctx.g1_to_dev(A8), ctx.g2_to_dev(B8))
+    host_gt = hp.multi_pairing(host, A8, B8)
+    assert dev_gt == host_gt, "device pairing product != host at n=8"
+    log("correctness: device pairing product == host product at n=8")
+
+    # ---- timed path: chunked Miller batch + Fq12 product reduce -----------
+    # Mirrors DevPairing.multi_pairing's chunked execution (the path every
+    # protocol round runs) minus the one-off final exponentiation.
+    from ripp_tpu.ops.curve import chunk_plan, pad_with_identity
 
     def run(P, Q):
         g1a = ctx.g1.normalize(P)
@@ -47,14 +146,66 @@ def main():
         return dp.product_reduce(f)
 
     run_j = jax.jit(run)
-    jax.block_until_ready(run_j(dA, dB))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = run_j(dA, dB)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+    import jax.numpy as jnp
 
-    pairs_per_s = N / dt
+    def miller_product(P, Q):
+        n = jax.tree.leaves(P)[0].shape[0]
+        chunk, n_chunks, padded = chunk_plan(n)
+        if padded > n:
+            P = pad_with_identity(ctx.g1, P, padded)
+            Q = pad_with_identity(ctx.g2, Q, padded)
+        acc = None
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            prod = run_j(jax.tree.map(lambda x: x[sl], P),
+                         jax.tree.map(lambda x: x[sl], Q))
+            acc = prod if acc is None else dp._mul1_jit(acc, prod)
+        return acc
+
+    def bench_n(n):
+        A, B = _fixture(ctx, n)
+        dA, dB = ctx.g1_to_dev(A), ctx.g2_to_dev(B)
+        # fresh inputs per iteration: distinct rolls = distinct buffers,
+        # distinct values at every index, distinct products.
+        inputs = [
+            (jax.tree.map(lambda x: jnp.roll(x, k, axis=0), dA),
+             jax.tree.map(lambda x: jnp.roll(x, 3 * k + 1, axis=0), dB))
+            for k in range(ITERS + 1)
+        ]
+        jax.block_until_ready(inputs)
+        jax.block_until_ready(miller_product(*inputs[0]))  # compile + warm
+        times = []
+        for k in range(1, ITERS + 1):
+            t0 = time.perf_counter()
+            jax.block_until_ready(miller_product(*inputs[k]))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        return n / dt, dt
+
+    sweep = {}
+    for n in SWEEP:
+        pps, dt = bench_n(n)
+        sweep[n] = pps
+        log(f"sweep n={n}: {pps:,.1f} pairs/s ({dt*1e3:.1f} ms/iter, "
+            f"min of {ITERS} individually-awaited fresh-input iters)")
+
+    pairs_per_s = sweep[N_HEAD]
+
+    # ---- roofline cross-check ---------------------------------------------
+    # the binding physical bound is the VPU lane-op ceiling for the CIOS
+    # multiplier; in-kernel (fused, VMEM-resident) muls legitimately beat
+    # the STANDALONE mul microbench, which pays layout/launch overhead.
+    mul_rate = _measure_mul_rate(ctx)
+    best = max(sweep.values())
+    implied = best * FP_MULS_PER_PAIR_EST
+    log(f"roofline: best sweep point implies {implied/1e6:.1f} M "
+        f"in-kernel muls/s = {implied/FP_MULS_PER_S_CEILING:.0%} of the "
+        f"~{FP_MULS_PER_S_CEILING/1e6:.0f} M muls/s VPU ceiling "
+        f"(standalone mul microbench: {mul_rate/1e6:.1f} M muls/s)")
+    if implied > 1.5 * FP_MULS_PER_S_CEILING:
+        log("WARNING: headline exceeds the VPU lane-op ceiling; "
+            "treat as a measurement artifact")
+
     print(json.dumps({
         "metric": "pairing_product_throughput_n256_bls12_381",
         "value": round(pairs_per_s, 2),
@@ -70,7 +221,6 @@ def _backend_alive(timeout_s: int = 900) -> bool:
     remote chip claim must expire first); without this guard the bench
     would hang the whole harness instead of reporting failure."""
     import subprocess
-    import sys
 
     try:
         r = subprocess.run(

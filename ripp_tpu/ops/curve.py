@@ -13,12 +13,28 @@ Edwards (JubJub) gets its own complete-addition kernel.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .tower import tree_select
+
+
+def use_fused() -> bool:
+    """Dispatch policy for the one-launch Pallas kernels (ops/pairing_fused,
+    ops/curve_fused): on by default on the TPU backend, off elsewhere (the
+    register-machine kernels only run under Pallas-TPU; the CPU/mesh paths
+    keep the scan kernels). RIPP_FUSED=0 forces the scan path everywhere.
+    Read at trace time: jitted callers bake the decision into each compiled
+    shape family."""
+    if os.environ.get("RIPP_FUSED", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 # Reductions (MSM, multi-pairing) pad their batch up to this size so every
@@ -65,13 +81,18 @@ class DevSWCurve:
         self.F = F
         self.b3 = b3  # 3*b as a device field element
         self.name = name
+        # set by DevCurveCtx for g1/g2 of tower curves: () -> FusedLadder
+        # (ops/curve_fused.py); scalar_mul_bits dispatches to it on TPU
+        self._fused_ladder_factory = None
         if jit:
             # jit the hot kernels once per instance; jax caches per shape
             self.add = jax.jit(self.add)
             self.double = jax.jit(self.double)
-            self.scalar_mul_bits = jax.jit(self.scalar_mul_bits)
+            self._scalar_mul_bits_scan = jax.jit(self._scalar_mul_bits_impl)
             self.normalize = jax.jit(self.normalize)
             self.sum_reduce = jax.jit(self.sum_reduce, static_argnames="axis")
+        else:
+            self._scalar_mul_bits_scan = self._scalar_mul_bits_impl
 
     # --- identities ----------------------------------------------------------
     def identity_like(self, x):
@@ -170,7 +191,17 @@ class DevSWCurve:
     def scalar_mul_bits(self, P, bits):
         """P * k where bits is a uint32 array of k's bits, MSB first, shape
         [nbits] (shared scalar) or [batch..., nbits] (per-element scalars).
-        Completeness of add makes the double-and-add ladder branch-free."""
+
+        Dispatches to the one-launch fused Pallas ladder on TPU
+        (ops/curve_fused.py, bit-identical outputs); otherwise the
+        lax.scan double-and-add below."""
+        if self._fused_ladder_factory is not None and use_fused():
+            return self._fused_ladder_factory().scalar_mul_bits(P, bits)
+        return self._scalar_mul_bits_scan(P, bits)
+
+    def _scalar_mul_bits_impl(self, P, bits):
+        """lax.scan double-and-add; completeness of add makes the ladder
+        branch-free."""
         shared = bits.ndim == 1
         nbits = bits.shape[-1]
         acc = self.identity_like(P[0])

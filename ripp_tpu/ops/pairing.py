@@ -24,12 +24,14 @@ Miller value replaced by 1 afterwards.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
+from .curve import use_fused
 from .points import DevCurveCtx
 from .tower import tree_select
 
@@ -53,6 +55,17 @@ class DevPairing:
         self._finalexp_jit = None
         self._gtexp_jit = None
         self._mul1_jit = jax.jit(self.fp12.mul)
+        self._fused = None
+
+    @property
+    def fused(self):
+        """Lazy one-launch fused Miller kernel (ops/pairing_fused.py);
+        trace/schedule cost is paid only when the TPU path dispatches."""
+        if self._fused is None:
+            from .pairing_fused import fused_miller
+
+            self._fused = fused_miller(self.ctx)
+        return self._fused
 
     # ---- sparse line -> full Fp12 -------------------------------------------
     def _fp12_from_w(self, coeffs):
@@ -324,7 +337,12 @@ class DevPairing:
             lambda g: jnp.broadcast_to(g[0], xP.shape), gen2[0]), qx)
         qy = tree_select(skip, jax.tree.map(
             lambda g: jnp.broadcast_to(g[0], xP.shape), gen2[1]), qy)
-        f = self._miller_jit(xP, yP, qx, qy)
+        if use_fused():
+            # one-launch Pallas register machine; bit-identical to the
+            # scan path (tests/test_pairing_fused.py)
+            f = self.fused.miller(xP, yP, qx, qy)
+        else:
+            f = self._miller_jit(xP, yP, qx, qy)
         one = self._ones_fp12(xP.shape[:-1])
         return tree_select(skip, one, f)
 

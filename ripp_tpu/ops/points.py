@@ -35,6 +35,18 @@ class DevCurveCtx:
         b3_g2 = (fp.const(b3_g2_host[0]), fp.const(b3_g2_host[1]))
         self.g2 = DevSWCurve(fp2, b3_g2, name=c.name + ".dev.g2")
 
+        # fused one-launch ladders (TPU dispatch in scalar_mul_bits)
+        def _ladder(group):
+            def make():
+                from .curve_fused import fused_ladder
+
+                return fused_ladder(self, group)
+
+            return make
+
+        self.g1._fused_ladder_factory = _ladder("g1")
+        self.g2._fused_ladder_factory = _ladder("g2")
+
     # --- host -> device -------------------------------------------------------
     def g1_to_dev(self, pts: Sequence):
         """List of host affine G1 (or None) -> projective device point batch."""

@@ -7,8 +7,13 @@ arrays, not just equal GT values after the final exponentiation.
 The quick test replays the step programs with the XLA reference executor
 (covers the traced formulas + scheduler); the interpret-mode kernel test
 (covers the Pallas register machine end-to-end) takes ~13 min on CPU and
-is gated with the big-test knob. On TPU the kernel path is exercised by
-bench.py / test_big.py.
+is gated with the big-test knob.
+
+On TPU the kernel path IS the default dispatch since round 4:
+DevPairing.miller_batch routes to FusedMiller when use_fused() is true
+(ops/pairing.py), so bench.py and every protocol exercise it on-chip;
+round-4 on-chip differential: fused == scan limb-identical at n=256
+(BASELINE.md round-4 notes).
 """
 
 import os
