@@ -164,6 +164,60 @@ def bls12_377() -> PairingCurve:
     )
 
 
+def _bls12_small(name: str, x: int) -> PairingCurve:
+    """BLS12-family curve from a small seed x with the BLS12-381 tower
+    shape (beta = -1, xi = 1 + u). Requires: r = x^4-x^2+1 and
+    p = (x-1)^2 r/3 + x prime, p = 3 mod 4, xi a sextic non-residue."""
+    r = x ** 4 - x ** 2 + 1
+    p = (x - 1) ** 2 * r // 3 + x
+    tower = Tower.build(p, beta=p - 1, xi=(1, 1), name=name + ".")
+    fp, fp2 = tower.fp, tower.fp2
+
+    h1 = (p - x) // r
+    # find the curve constant b: y^2 = x^3 + b must be the twist with
+    # #E(Fp) = p - x (sample points must be annihilated by p - x)
+    for b in range(1, 1000):
+        g1 = SWCurve(fp, 0, b, order=r, cofactor=h1, name=f"{name}.G1")
+        found, ok = 0, True
+        for i in range(1, 100):
+            cand = g1.point_from_x(fp.from_int(i), greatest=True)
+            if cand is None:
+                continue
+            found += 1
+            if g1.scalar_mul_unreduced(cand, p - x) is not None:
+                ok = False
+                break
+            if found >= 5:
+                break
+        if ok and found:
+            break
+    else:
+        raise AssertionError(f"no valid G1 constant b for {name}")
+
+    trace = x + 1
+    # pick the sextic twist (M: b' = b*xi, D: b' = b/xi) whose order is
+    # divisible by r
+    for twist_type, b2 in (("M", fp2.mul_int((1, 1), b)),
+                           ("D", fp2.scale(fp2.inv((1, 1)), b))):
+        g2curve = SWCurve(fp2, fp2.zero(), b2, order=r, cofactor=1,
+                          name=f"{name}.G2")
+        try:
+            h2 = _twist_cofactor(p, r, trace, g2curve)
+        except AssertionError:
+            continue
+        g2curve.cofactor = h2
+        break
+    else:
+        raise AssertionError(f"no valid twist found for {name}")
+
+    g1_gen = _validated_gen(g1, None, start_x=1)
+    g2_gen = _validated_gen(g2curve, None, start_x=1)
+    return PairingCurve(
+        name=name, tower=tower, r=r, x=x, g1=g1, g2=g2curve,
+        g1_gen=g1_gen, g2_gen=g2_gen, twist_type=twist_type,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def bls12_toy() -> PairingCurve:
     """Tiny BLS12-family curve (x = -34169, 89-bit p, 61-bit r) with the
@@ -174,37 +228,21 @@ def bls12_toy() -> PairingCurve:
     kernels scales with limb_count^2, and the full-width Miller loop takes
     >40 min to compile on the CPU backend. Cryptographically REAL (prime p,
     prime r, valid sextic twist), just far too small to be secure."""
-    x = -34169
-    r = x ** 4 - x ** 2 + 1
-    p = (x - 1) ** 2 * r // 3 + x
-    tower = Tower.build(p, beta=p - 1, xi=(1, 1), name="blstoy.")
-    fp, fp2 = tower.fp, tower.fp2
+    return _bls12_small("bls12_toy", -34169)
 
-    h1 = (p - x) // r
-    g1 = SWCurve(fp, 0, 1, order=r, cofactor=h1, name="bls12_toy.G1")
 
-    trace = x + 1
-    # pick the sextic twist (M: b' = b*xi, D: b' = b/xi) whose order is
-    # divisible by r
-    for twist_type, b2 in (("M", fp2.mul_int((1, 1), 1)),
-                           ("D", fp2.inv((1, 1)))):
-        g2curve = SWCurve(fp2, fp2.zero(), b2, order=r, cofactor=1,
-                          name="bls12_toy.G2")
-        try:
-            h2 = _twist_cofactor(p, r, trace, g2curve)
-        except AssertionError:
-            continue
-        g2curve.cofactor = h2
-        break
-    else:
-        raise AssertionError("no valid twist found for toy curve")
+@functools.lru_cache(maxsize=None)
+def bls12_nano() -> PairingCurve:
+    """Smallest valid BLS12-family seed (x = -56: 34-bit p, 24-bit r,
+    5-step Miller loop) with the BLS12-381 tower shape.
 
-    g1_gen = _validated_gen(g1, None, start_x=1)
-    g2_gen = _validated_gen(g2curve, None, start_x=1)
-    return PairingCurve(
-        name="bls12_toy", tower=tower, r=r, x=x, g1=g1, g2=g2curve,
-        g1_gen=g1_gen, g2_gen=g2_gen, twist_type=twist_type,
-    )
+    Purpose: the multichip dryrun gate (__graft_entry__.dryrun_multichip)
+    runs on a 1-core CPU host where even the toy curve's sharded Miller
+    module is a multi-minute XLA:CPU compile (the rc=124 timeouts of
+    rounds 2-3); at 3 limbs and 5 Miller steps the same code paths
+    compile another order of magnitude faster. Cryptographically REAL
+    (prime p, prime r, valid sextic twist), zero security."""
+    return _bls12_small("bls12_nano", -56)
 
 
 @dataclass
@@ -311,4 +349,6 @@ def get_curve(name: str) -> PairingCurve:
         return bls12_377()
     if name in ("bls12_toy", "BLS12-toy"):
         return bls12_toy()
+    if name in ("bls12_nano", "BLS12-nano"):
+        return bls12_nano()
     raise ValueError(f"unknown curve {name}")

@@ -132,7 +132,15 @@ class FieldSpec:
 
 
 def make_spec(name: str, p: int) -> FieldSpec:
-    nl = ((p.bit_length() + LIMB_BITS - 1) // LIMB_BITS + 7) // 8 * 8
+    # Limb count rounded up to a multiple of 4 (sublane-friendly tiling).
+    # Production curves (381/377/761-bit) land on multiples of 8 either
+    # way; the rounding only matters for the tiny test curves, where a
+    # smaller nl directly shrinks every compiled limb-kernel graph (the
+    # 1-core XLA:CPU compile wall - see __graft_entry__.dryrun_multichip).
+    nl = ((p.bit_length() + LIMB_BITS - 1) // LIMB_BITS + 3) // 4 * 4
+    # the fused ripple ring ops (DevFp.add/sub/_cond_sub_p) need one
+    # headroom bit: a+b < 2^(16 nl) requires p < 2^(16 nl - 1)
+    assert p.bit_length() < nl * LIMB_BITS, (name, p.bit_length(), nl)
     return FieldSpec(name=name, p=p, nl=nl)
 
 
@@ -144,19 +152,22 @@ def _shift_up(x, s: int):
 
 
 def _ks_carry(g, p):
-    """Kogge-Stone resolve: given per-limb generate g (uint32 0/1) and
-    propagate p (bool), return carry-out per limb."""
+    """Carry resolve: given per-limb generate g (uint32 0/1) and propagate
+    p (bool), return carry-out per limb (c_k = g_k | (p_k & c_{k-1})).
+
+    Implemented as a plain ripple over the (static, small) limb axis.
+    A Kogge-Stone log-depth form was used through round 3; its
+    where/concat ladder made XLA:CPU compile time EXPLODE in long op
+    chains (measured: 100 chained fp.adds = 30 s compile for the KS
+    carry alone, >8 min for a full kprog step program; the ripple form
+    compiles ~100x faster and its linear limb-axis depth is irrelevant
+    at runtime - the VPU vectorizes over the batch axis, and nl <= 48)."""
     n = g.shape[-1]
-    carry = g
-    prop = p
-    s = 1
-    while s < n:
-        carry = carry | jnp.where(prop, _shift_up(carry, s), 0)
-        prop = jnp.logical_and(
-            prop, _shift_up(prop.astype(jnp.uint32), s).astype(bool)
-        )
-        s *= 2
-    return carry
+    pu = p.astype(jnp.uint32)
+    outs = [g[..., 0]]
+    for k in range(1, n):
+        outs.append(g[..., k] | (pu[..., k] & outs[-1]))
+    return jnp.stack(outs, axis=-1)
 
 
 class DevFp:
@@ -190,62 +201,105 @@ class DevFp:
         )
 
     # --- carry machinery ------------------------------------------------------
-    def _carry_norm(self, t):
-        """Normalize limbs (< 2^26) to < 2^16: two split rounds bring values
-        to <= 2^16, then a 1-bit Kogge-Stone resolves residual carries.
-        Returns array of the same width (caller keeps an extra headroom limb
-        for any overall carry)."""
-        for _ in range(2):
-            lo = t & LIMB_MASK
-            hi = t >> LIMB_BITS
-            t = lo.at[..., 1:].add(hi[..., :-1])
-        g = t >> LIMB_BITS  # in {0, 1}
-        p = t == LIMB_MASK
-        carry = _ks_carry(g, p)
-        carry_in = _shift_up(carry, 1)
-        return (t + carry_in) & LIMB_MASK
+    # All carry handling is single-pass RIPPLE over the (static, small)
+    # limb axis: plain uint32 arithmetic, no boolean-predicate ladders,
+    # no concat/where chains.  The round-1..3 Kogge-Stone forms made
+    # XLA:CPU compile time blow up SUPERLINEARLY in op-chain length
+    # (measured: 40 chained fp.adds = 107 s to compile with the KS carry
+    # + select-based cond-sub, ~2 s with these ripples); the linear limb
+    # depth is irrelevant at runtime because the VPU/CPU vectorizes over
+    # the batch axis.  Relies on p.bit_length() < 16*nl (one headroom bit,
+    # true for every spec the rounding in make_spec produces), so a+b and
+    # a-b+p never overflow nl limbs.
 
-    def _ks_sub(self, a, b):
-        """a - b limbwise with Kogge-Stone borrow. Returns (diff, borrow_out)
-        where borrow_out [..., ] is 1 when a < b."""
-        g = (a < b).astype(jnp.uint32)
-        p = a == b
-        borrow = _ks_carry(g, p)
-        borrow_in = _shift_up(borrow, 1)
-        d = (a + jnp.uint32(1 << LIMB_BITS) - b - borrow_in) & LIMB_MASK
-        return d, borrow[..., -1]
+    def _carry_norm(self, t):
+        """Normalize limbs (any uint32 values with headroom) to < 2^16:
+        one ripple pass; the carry into each limb is bounded so the
+        running value stays in uint32."""
+        nl_t = t.shape[-1]
+        outs = []
+        c = jnp.zeros_like(t[..., 0])
+        for k in range(nl_t):
+            v = t[..., k] + c
+            outs.append(v & LIMB_MASK)
+            c = v >> LIMB_BITS
+        return jnp.stack(outs, axis=-1)
 
     def _cond_sub_p(self, a, force=None):
-        """Reduce a (< 2p, normalized limbs) into [0, p)."""
-        diff, borrow = self._ks_sub(a, jnp.broadcast_to(self._p_dev, a.shape))
-        need = borrow == 0  # a >= p
+        """Reduce a (< 2p, normalized limbs) into [0, p): one ripple
+        computing d = a - p (two's complement add of 2^W - p); select d
+        when it did not borrow (carry-out 1 <=> a >= p)."""
+        p_limbs = self.spec.p_limbs
+        nl = self.nl
+        diffs = []
+        c = None
+        for k in range(nl):
+            v = a[..., k] + np.uint32(LIMB_MASK - int(p_limbs[k]))
+            v = v + 1 if k == 0 else v + c
+            diffs.append(v & LIMB_MASK)
+            c = v >> LIMB_BITS
+        need = c > 0  # a >= p
         if force is not None:
             need = jnp.logical_or(need, force)
-        return jnp.where(need[..., None], diff, a)
+        d = jnp.stack(diffs, axis=-1)
+        return jnp.where(need[..., None], d, a)
 
     # --- ring ops -----------------------------------------------------------
     def add(self, a, b):
-        s = a + b  # < 2^17 per limb
-        g = s >> LIMB_BITS
-        p = (s & LIMB_MASK) == LIMB_MASK
-        carry = _ks_carry(g, p)
-        out = (s + _shift_up(carry, 1)) & LIMB_MASK
-        return self._cond_sub_p(out, force=carry[..., -1] > 0)
+        """(a + b) mod p in one fused ripple: accumulate s = a + b and
+        d = a + b - p simultaneously; a,b < p < 2^(16nl - 1) so s never
+        overflows the limb span and the d carry-out decides the select."""
+        a, b = jnp.broadcast_arrays(a, b)
+        p_limbs = self.spec.p_limbs
+        sums, diffs = [], []
+        c1 = c2 = None
+        for k in range(self.nl):
+            v = a[..., k] + b[..., k]
+            v = v if k == 0 else v + c1
+            s = v & LIMB_MASK
+            c1 = v >> LIMB_BITS
+            sums.append(s)
+            w = s + np.uint32(LIMB_MASK - int(p_limbs[k]))
+            w = w + 1 if k == 0 else w + c2
+            diffs.append(w & LIMB_MASK)
+            c2 = w >> LIMB_BITS
+        need = (c2 > 0)[..., None]  # a + b >= p
+        return jnp.where(need, jnp.stack(diffs, axis=-1),
+                         jnp.stack(sums, axis=-1))
 
     def sub(self, a, b):
+        """(a - b) mod p in one fused ripple: d1 = a - b (borrow flag) and
+        d2 = a - b + p computed together."""
         a, b = jnp.broadcast_arrays(a, b)
-        d, borrow = self._ks_sub(a, b)
-        # if borrowed, add p back (wraps exactly once)
-        s = d + self._p_dev
-        g = s >> LIMB_BITS
-        pp = (s & LIMB_MASK) == LIMB_MASK
-        carry = _ks_carry(g, pp)
-        addp = (s + _shift_up(carry, 1)) & LIMB_MASK
-        return jnp.where((borrow > 0)[..., None], addp, d)
+        p_limbs = self.spec.p_limbs
+        d1s, d2s = [], []
+        c1 = c2 = None
+        for k in range(self.nl):
+            nb = np.uint32(LIMB_MASK) - b[..., k]
+            v = a[..., k] + nb
+            v = v + 1 if k == 0 else v + c1
+            d1s.append(v & LIMB_MASK)
+            c1 = v >> LIMB_BITS
+            w = a[..., k] + nb + np.uint32(int(p_limbs[k]))
+            w = w + 1 if k == 0 else w + c2
+            d2s.append(w & LIMB_MASK)
+            c2 = w >> LIMB_BITS
+        no_borrow = (c1 > 0)[..., None]  # a >= b
+        return jnp.where(no_borrow, jnp.stack(d1s, axis=-1),
+                         jnp.stack(d2s, axis=-1))
 
     def neg(self, a):
-        pb = jnp.broadcast_to(self._p_dev, a.shape)
-        d, _ = self._ks_sub(pb, a)
+        """(-a) mod p: one ripple d = p - a (a <= p so no borrow), with
+        the a == 0 lanes passed through."""
+        p_limbs = self.spec.p_limbs
+        ds = []
+        c = None
+        for k in range(self.nl):
+            v = np.uint32(int(p_limbs[k]) + LIMB_MASK) - a[..., k]
+            v = v + 1 if k == 0 else v + c
+            ds.append(v & LIMB_MASK)
+            c = v >> LIMB_BITS
+        d = jnp.stack(ds, axis=-1)
         return jnp.where(self.is_zero(a)[..., None], a, d)
 
     def mul(self, a, b):

@@ -449,6 +449,95 @@ def schedule(prog: KProg, max_group: int = 4096,
 # Reference executor (pure XLA; used by CPU tests and as ground truth)
 # ---------------------------------------------------------------------------
 
+def run_xla_stacked(sched: Scheduled, fp, inputs, masks=()):
+    """run_xla variant that executes every independent-mul GROUP as ONE
+    stacked base-field mul call ([group, batch, NL] operands): the mul
+    graph is inlined once per dependency level instead of once per mul,
+    shrinking the XLA module ~10x for programs like the Miller step
+    (115 muls, ~12 levels). Used by compile-starved paths (the 1-core
+    XLA:CPU dryrun gate). Outputs are bit-identical to run_xla."""
+    import jax.numpy as jnp
+
+    regs: Dict[int, object] = {}
+    for r, x in zip(sched.inputs, inputs):
+        regs[r] = x
+    for r, mk in zip(sched.mask_inputs, masks):
+        regs[r] = mk
+    const_limbs = [fp.const(c) for c in sched.consts]
+    bshape = None
+    for x in inputs:
+        bshape = x.shape
+        break
+    for kind, items in sched.segments:
+        if kind == "muls":
+            a_stack = jnp.stack(
+                [jnp.broadcast_to(regs[a], bshape) for _, a, _ in items])
+            b_stack = jnp.stack(
+                [jnp.broadcast_to(regs[b], bshape) for _, _, b in items])
+            out = fp.mul(a_stack, b_stack)
+            for k, (d, _, _) in enumerate(items):
+                regs[d] = out[k]
+            continue
+        for op in items:
+            if op.kind == "movc":
+                regs[op.dst] = const_limbs[op.a]
+            elif op.kind == "add":
+                regs[op.dst] = fp.add(regs[op.a], regs[op.b])
+            elif op.kind == "sub":
+                regs[op.dst] = fp.sub(regs[op.a], regs[op.b])
+            elif op.kind == "neg":
+                regs[op.dst] = fp.neg(regs[op.a])
+            elif op.kind == "sel":
+                m = regs[op.m]
+                regs[op.dst] = jnp.where(
+                    m[..., None] if m.ndim < regs[op.a].ndim else m,
+                    regs[op.a], regs[op.b],
+                )
+            else:
+                raise ValueError(op.kind)
+    return [regs[r] for r in sched.outputs]
+
+
+def run_host(sched: Scheduled, p: int, inputs, masks=()):
+    """Execute a scheduled program over python ints mod p (exact ground
+    truth, no device/XLA involvement). inputs: list of ints (or lists of
+    ints for a batch) per input register; masks likewise 0/1.
+    Returns the list of output values."""
+    def as_list(v):
+        return v if isinstance(v, list) else [v]
+
+    batch = max(len(as_list(v)) for v in inputs) if inputs else 1
+    regs: Dict[int, list] = {}
+    for r, v in zip(sched.inputs, inputs):
+        vl = as_list(v)
+        regs[r] = vl * batch if len(vl) == 1 else list(vl)
+    for r, m in zip(sched.mask_inputs, masks):
+        ml = as_list(m)
+        regs[r] = ml * batch if len(ml) == 1 else list(ml)
+    for kind, items in sched.segments:
+        if kind == "muls":
+            for d, a, b in items:
+                regs[d] = [(x * y) % p for x, y in zip(regs[a], regs[b])]
+            continue
+        for op in items:
+            if op.kind == "movc":
+                regs[op.dst] = [sched.consts[op.a] % p] * batch
+            elif op.kind == "add":
+                regs[op.dst] = [(x + y) % p
+                                for x, y in zip(regs[op.a], regs[op.b])]
+            elif op.kind == "sub":
+                regs[op.dst] = [(x - y) % p
+                                for x, y in zip(regs[op.a], regs[op.b])]
+            elif op.kind == "neg":
+                regs[op.dst] = [(-x) % p for x in regs[op.a]]
+            elif op.kind == "sel":
+                regs[op.dst] = [a if m else b for m, a, b in
+                                zip(regs[op.m], regs[op.a], regs[op.b])]
+            else:
+                raise ValueError(op.kind)
+    return [regs[r] for r in sched.outputs]
+
+
 def run_xla(sched: Scheduled, fp, inputs, masks=()):
     """Execute a scheduled program with DevFp ops on [batch, NL] arrays.
 

@@ -23,7 +23,13 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..host.curves import PairingCurve, bls12_377, bls12_381, bls12_toy
+from ..host.curves import (
+    PairingCurve,
+    bls12_377,
+    bls12_381,
+    bls12_nano,
+    bls12_toy,
+)
 from ..host.field import CubicExtOps, QuadExtOps
 from .fp import DevFp, FieldSpec, make_spec
 
@@ -342,4 +348,6 @@ def dev_tower(curve_name: str) -> DevTower:
         return DevTower(bls12_377())
     if curve_name == "bls12_toy":
         return DevTower(bls12_toy())
+    if curve_name == "bls12_nano":
+        return DevTower(bls12_nano())
     raise ValueError(curve_name)

@@ -93,6 +93,110 @@ def make_sharded_msm(ctx, grp, mesh):
     return jax.jit(fn)
 
 
+def make_lean_miller_product(ctx, mesh):
+    """Compile-lean sharded pairing product for compile-starved hosts
+    (the 1-core-CPU dryrun gate): the heavy Miller graph compiles ONCE as
+    a single-device executable and runs per shard; only the multiplicative
+    Fq12 all-reduce - a tiny graph - compiles as a mesh (shard_map)
+    module.  Mathematically identical to make_sharded_miller_product
+    (commutative exact Fq12 products); the one-module variant stays the
+    TPU production path.  Measured on the 1-core box: one-module compile
+    7m51s vs ~80s for this decomposition (round-4; the rc=124 fix).
+
+    Returns fn(P_cyclic [D, w], Q_cyclic [D, w]) -> replicated [1, ...]
+    Miller-product tree."""
+    dp = dev_pairing(ctx)
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+    from .mesh import shard_spec
+
+    @jax.jit
+    def partial(P_loc, Q_loc):
+        from ..ops.curve import MIN_REDUCE_BATCH, pad_with_identity
+
+        n_loc = jax.tree.leaves(P_loc)[0].shape[0]
+        if n_loc < MIN_REDUCE_BATCH:
+            P_loc = pad_with_identity(ctx.g1, P_loc, MIN_REDUCE_BATCH)
+            Q_loc = pad_with_identity(ctx.g2, Q_loc, MIN_REDUCE_BATCH)
+        f = dp.miller_batch(ctx.g1.normalize(P_loc),
+                            ctx.g2.normalize(Q_loc))
+        return dp.product_reduce(f)
+
+    def combine_local(parts):
+        # parts: [1, ...] local partial -> replicated global product
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+            parts,
+        )
+        red = scan_reduce(dp.fp12.mul, gathered, ndev)
+        return jax.tree.map(lambda x: x[None], red)
+
+    combine = jax.jit(shard_map(
+        combine_local, mesh=mesh,
+        in_specs=(P(axis),), out_specs=P(),
+        check_vma=False,
+    ))
+
+    def run(P_cyc, Q_cyc):
+        parts = []
+        for d in range(ndev):
+            Pd = jax.tree.map(
+                lambda x: jnp.asarray(jax.device_get(x[d])), P_cyc)
+            Qd = jax.tree.map(
+                lambda x: jnp.asarray(jax.device_get(x[d])), Q_cyc)
+            parts.append(partial(Pd, Qd))
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        return combine(jax.device_put(stacked, shard_spec(mesh)))
+
+    return run
+
+
+def make_lean_msm(ctx, grp, mesh):
+    """Compile-lean sharded MSM (additive EC all-reduce twin of
+    make_lean_miller_product): per-shard Pippenger partials through one
+    single-device executable, small shard_map module for the all-reduce.
+
+    Returns fn(points_cyclic [D, w], scalars_cyclic [D, w, NL]) ->
+    replicated projective point tree (no batch axis)."""
+    curve = ctx.g1 if grp == "g1" else ctx.g2
+    fr = ctx.t.fr
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+    from .mesh import shard_spec
+
+    @jax.jit
+    def partial(points, scalars):
+        res = msm_mod.msm(curve, fr, points, scalars)
+        return jax.tree.map(lambda x: x[None], res)
+
+    def combine_local(parts):
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+            parts,
+        )
+        return scan_reduce(curve.add, gathered, ndev)
+
+    combine = jax.jit(shard_map(
+        combine_local, mesh=mesh,
+        in_specs=(P(axis),), out_specs=P(),
+        check_vma=False,
+    ))
+
+    def run(p_cyc, s_cyc):
+        parts = []
+        for d in range(ndev):
+            pd = jax.tree.map(
+                lambda x: jnp.asarray(jax.device_get(x[d])), p_cyc)
+            sd = jnp.asarray(jax.device_get(s_cyc[d]))
+            parts.append(partial(pd, sd))
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        return combine(jax.device_put(stacked, shard_spec(mesh)))
+
+    return run
+
+
 def sharded_multi_pairing(ctx, mesh, P_proj, Q_proj):
     """Full sharded pairing product -> host GT element (conjugation +
     final exponentiation on device, as in ops/pairing.py)."""

@@ -40,8 +40,11 @@ def setup() -> None:
     suffix = "_cpu" if os.environ.get("JAX_PLATFORMS", "") == "cpu" else ""
     cache_dir = os.environ.get(
         "RIPP_TPU_JAX_CACHE",
-        os.path.join(os.path.dirname(__file__), "..", "..",
-                     ".jax_cache" + suffix),
+        os.environ.get(  # respect the standard JAX env var when set
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(__file__), "..", "..",
+                         ".jax_cache" + suffix),
+        ),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
