@@ -36,7 +36,9 @@ from .vectors import FrVec, PlaceholderVec, PointVec
 # --------------------------------------------------------------------------
 
 class PairingIP:
-    """prod_i e(A_i, B_i) (TIPP kernel)."""
+    """prod_i e(A_i, B_i) (TIPP kernel). Dispatches through the vector
+    method, so mesh-sharded vectors (parallel/vectors.py) ride per-device
+    Miller partials + an ICI Fq12 all-reduce transparently."""
 
     out_kind = "gt"
 
@@ -45,7 +47,7 @@ class PairingIP:
 
     def compute(self, a: PointVec, b: PointVec):
         check_same_length(a, b)
-        return dev_pairing(self.ctx).multi_pairing(a.pts, b.pts)
+        return a.pair_product(b)
 
 
 class MultiexpIP:
@@ -97,7 +99,7 @@ class AFGHOCommitmentG1:
 
     def commit(self, keys: PointVec, msgs: PointVec):
         check_same_length(keys, msgs)
-        return dev_pairing(self.ctx).multi_pairing(msgs.pts, keys.pts)
+        return msgs.pair_product(keys)
 
     def commit_single(self, key, msg):
         return hp.pairing(self.ctx.host, msg, key)
@@ -124,7 +126,7 @@ class AFGHOCommitmentG2:
 
     def commit(self, keys: PointVec, msgs: PointVec):
         check_same_length(keys, msgs)
-        return dev_pairing(self.ctx).multi_pairing(keys.pts, msgs.pts)
+        return keys.pair_product(msgs)
 
     def commit_single(self, key, msg):
         return hp.pairing(self.ctx.host, key, msg)

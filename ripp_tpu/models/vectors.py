@@ -302,6 +302,18 @@ class PointVec:
             out = jax.tree.map(lambda x: x[: self.n], out)
         return PointVec(self.ctx, self.grp, out, self.n)
 
+    def pair_product(self, other: "PointVec"):
+        """prod_i e(self_i, other_i) -> host GT; self in G1, other in G2
+        (PairingIP / AFGHO commit kernel, inner_products/src/lib.rs:51-74).
+        The sharded twin (parallel/vectors.py ShardedPointVec) overrides
+        this with per-device Miller partials + an Fq12 all-reduce."""
+        from ..ops.pairing import dev_pairing
+
+        assert self.grp == "g1" and other.grp == "g2", (self.grp, other.grp)
+        assert isinstance(other, PointVec), \
+            "mixed dense/sharded pairing product: shard both operands"
+        return dev_pairing(self.ctx).multi_pairing(self.pts, other.pts)
+
     def first(self):
         # pad the single element up to MIN_REDUCE_BATCH so the normalize
         # executable is shared with the bulk paths (no per-[1] compile)

@@ -1,7 +1,9 @@
 """Sharded reductions on an 8-device virtual CPU mesh vs host ground truth.
 
-Runs on the toy BLS12 parameterization (bls12_toy): identical kernel and
-collective code paths to BLS12-381, ~20x faster XLA:CPU compiles.
+Runs on the nano BLS12 parameterization (bls12_nano): identical kernel and
+collective code paths to BLS12-381 at the smallest real-curve limb count
+(round-4: the toy curve's one-module sharded Miller was a 7m51s XLA:CPU
+compile on the 1-core box; nano at nl=4 roughly halves every module).
 
 Run as a script under JAX_PLATFORMS=cpu with
 --xla_force_host_platform_device_count=8 (see test_parallel.py, which drives
@@ -102,6 +104,52 @@ def check_sharded_sipp_byte_identical(ctx, mesh, n=64):
     print(f"sharded sipp byte-identical ok (n={n})")
 
 
+def check_sharded_gipa_byte_identical(ctx, mesh, n=64):
+    """Round-4: GIPA/TIPA provers ride the mesh (VERDICT r3 item 6).
+    TIPP (pairing-IP, AFGHO both sides) proved on 1 device and on the
+    8-device mesh from identical inputs must give BYTE-IDENTICAL proofs
+    (/root/reference/ip_proofs/src/gipa.rs:196-297 dataflow, cyclic
+    sharding per parallel/vectors.py)."""
+    from ripp_tpu.models import gipa
+    from ripp_tpu.models.instances import tipp_config
+    from ripp_tpu.models.vectors import PointVec
+    from ripp_tpu.parallel.vectors import ShardedPointVec
+    from ripp_tpu.utils.proof_io import ser_gipa_proof
+
+    rng = SeededRng(11)
+    host = ctx.host
+    cfg = tipp_config(ctx)
+    A = [rand_sw_point(rng, host.g1) for _ in range(n)]
+    B = [rand_sw_point(rng, host.g2) for _ in range(n)]
+    ckA = [rand_sw_point(rng, host.g2) for _ in range(n)]  # lmc keys in G2
+    ckB = [rand_sw_point(rng, host.g1) for _ in range(n)]  # rmc keys in G1
+    ck_t = cfg.ipc.setup(rng, 1)
+
+    m_a_d = PointVec.from_host(ctx, "g1", A)
+    m_b_d = PointVec.from_host(ctx, "g2", B)
+    ck_a_d = PointVec.from_host(ctx, "g2", ckA)
+    ck_b_d = PointVec.from_host(ctx, "g1", ckB)
+    proof_d, _ = gipa.prove_with_aux(cfg, m_a_d, m_b_d, ck_a_d, ck_b_d,
+                                     ck_t)
+
+    m_a_s = ShardedPointVec.from_host(ctx, mesh, "g1", A)
+    m_b_s = ShardedPointVec.from_host(ctx, mesh, "g2", B)
+    ck_a_s = ShardedPointVec.from_host(ctx, mesh, "g2", ckA)
+    ck_b_s = ShardedPointVec.from_host(ctx, mesh, "g1", ckB)
+    proof_s, _ = gipa.prove_with_aux(cfg, m_a_s, m_b_s, ck_a_s, ck_b_s,
+                                     ck_t)
+
+    assert ser_gipa_proof(cfg, proof_d) == ser_gipa_proof(cfg, proof_s), \
+        "sharded TIPP proof bytes diverge from single-device"
+    com = (
+        cfg.lmc.commit(ck_a_d, m_a_d),
+        cfg.rmc.commit(ck_b_d, m_b_d),
+        cfg.ipc.commit(ck_t, [cfg.ip.compute(m_a_d, m_b_d)]),
+    )
+    assert gipa.verify(cfg, (ck_a_d, ck_b_d, ck_t), com, proof_s)
+    print(f"sharded gipa(tipp) byte-identical ok (n={n})")
+
+
 def check_dryrun():
     import __graft_entry__ as ge
 
@@ -109,7 +157,7 @@ def check_dryrun():
     print("dryrun_multichip ok")
 
 
-PHASES = ("msm", "pairing", "sipp", "dryrun")
+PHASES = ("msm", "pairing", "sipp", "gipa", "dryrun")
 # sipp381 is NOT in the default phase list: the full-width BLS12-381
 # sharded Miller program costs >40 min of XLA:CPU compile on this
 # 1-core host (warm .jax_cache_cpu: seconds).  Run it explicitly:
@@ -119,7 +167,7 @@ EXTRA_PHASES = ("sipp381",)
 
 def _run_phase(name: str) -> None:
     assert len(jax.devices()) >= 8, jax.devices()
-    curve = "bls12_381" if name.endswith("381") else "bls12_toy"
+    curve = "bls12_381" if name.endswith("381") else "bls12_nano"
     ctx = dev_ctx(curve)
     mesh = data_mesh(jax.devices()[:8])
     if name == "msm":
@@ -128,6 +176,8 @@ def _run_phase(name: str) -> None:
         check_sharded_multi_pairing(ctx, mesh)
     elif name == "sipp":
         check_sharded_sipp_byte_identical(ctx, mesh)
+    elif name == "gipa":
+        check_sharded_gipa_byte_identical(ctx, mesh)
     elif name == "sipp381":
         # the real-curve protocol-level contract (round-1 verdict #3):
         # byte-identical sharded proving at n=16 on BLS12-381
