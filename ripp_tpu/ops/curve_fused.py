@@ -124,6 +124,10 @@ class FusedLadder:
         self.dbl_sched, self.add_sched = _build_point_progs(ctx.host, group)
         assert (self.dbl_sched.inputs == self.add_sched.inputs
                 == list(range(6 * self.d)))
+        # jitted end-to-end callables per (batch shape, bits shape):
+        # tracing the register-machine kernel costs minutes of pure
+        # Python (see FusedMiller._jit_cache note)
+        self._jit_cache = {}
 
     @functools.cached_property
     def _pieces(self):
@@ -205,51 +209,66 @@ class FusedLadder:
     def scalar_mul_bits(self, P, bits):
         """Same contract as DevSWCurve.scalar_mul_bits (bit-identical):
         P projective tree, bits [nbits] (shared, MSB first) or
-        [batch, nbits] per-element uint32."""
-        spec = self.spec
-        nl = spec.nl
+        [batch, nbits] per-element uint32.  The full pipeline is jitted
+        once per (batch shape, bits shape)."""
         d = self.d
         flat = []
         for coord in P:
             flat.extend(coord if d == 2 else [coord])
         bshape = flat[0].shape[:-1]
+        key = (bshape, bits.shape)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._build_jit(bshape, bits.shape)
+            self._jit_cache[key] = fn
+        return fn(tuple(flat), bits)
+
+    def _build_jit(self, bshape, bits_shape):
+        spec = self.spec
+        nl = spec.nl
+        d = self.d
         B = int(np.prod(bshape)) if bshape else 1
         nb = -(-B // TILE)
         pad = nb * TILE - B
-        nbits = bits.shape[-1]
-
-        def tile(x):
-            x = jnp.broadcast_to(x, bshape + (nl,)).reshape(B, nl)
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((pad, nl), jnp.uint32)], axis=0)
-            return x.T.reshape(nl, nb, 8, 128)
-
-        ins = jnp.stack([tile(x) for x in flat])
-        if bits.ndim == 1:
-            bcol = jnp.broadcast_to(
-                bits.astype(jnp.uint32)[:, None], (nbits, nb * TILE))
-        else:
-            b2 = bits.astype(jnp.uint32).reshape(B, nbits).T
-            if pad:
-                b2 = jnp.concatenate(
-                    [b2, jnp.zeros((nbits, pad), jnp.uint32)], axis=1)
-            bcol = b2
-        bits_arr = bcol.reshape(nbits, nb, 8, 128)
-
+        nbits = bits_shape[-1]
         tab, _ = self._pieces
-        out = self._make_call(nb, nbits)(jnp.asarray(tab), ins, bits_arr)
+        tab_arr = jnp.asarray(tab)
+        call = self._make_call(nb, nbits)
 
-        def untile(k):
-            o = out[k].reshape(nl, nb * TILE).T
-            if pad:
-                o = o[:B]
-            return o.reshape(*bshape, nl)
+        def impl(flat, bits):
+            def tile(x):
+                x = jnp.broadcast_to(x, bshape + (nl,)).reshape(B, nl)
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad, nl), jnp.uint32)], axis=0)
+                return x.T.reshape(nl, nb, 8, 128)
 
-        rows = [untile(k) for k in range(3 * d)]
-        if d == 1:
-            return (rows[0], rows[1], rows[2])
-        return ((rows[0], rows[1]), (rows[2], rows[3]), (rows[4], rows[5]))
+            ins = jnp.stack([tile(x) for x in flat])
+            if bits.ndim == 1:
+                bcol = jnp.broadcast_to(
+                    bits.astype(jnp.uint32)[:, None], (nbits, nb * TILE))
+            else:
+                b2 = bits.astype(jnp.uint32).reshape(B, nbits).T
+                if pad:
+                    b2 = jnp.concatenate(
+                        [b2, jnp.zeros((nbits, pad), jnp.uint32)], axis=1)
+                bcol = b2
+            bits_arr = bcol.reshape(nbits, nb, 8, 128)
+            out = call(tab_arr, ins, bits_arr)
+
+            def untile(k):
+                o = out[k].reshape(nl, nb * TILE).T
+                if pad:
+                    o = o[:B]
+                return o.reshape(*bshape, nl)
+
+            rows = [untile(k) for k in range(3 * d)]
+            if d == 1:
+                return (rows[0], rows[1], rows[2])
+            return ((rows[0], rows[1]), (rows[2], rows[3]),
+                    (rows[4], rows[5]))
+
+        return jax.jit(impl)
 
 
 _LADDERS = {}

@@ -258,8 +258,10 @@ def _program_call(spec: FieldSpec, sched_key, nb: int, interpret: bool):
         interpret=interpret,
     )
 
-    def run(tab_arr, in_arr, mask_arr):
-        return call(tab_arr, in_arr, mask_arr)
+    # jit so repeated invocations hit the shape-keyed trace cache instead
+    # of re-tracing the (very large) unrolled kernel body every call
+    run = jax.jit(lambda tab_arr, in_arr, mask_arr:
+                  call(tab_arr, in_arr, mask_arr))
 
     return run, tab
 

@@ -24,7 +24,6 @@ Miller value replaced by 1 afterwards.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Tuple
 

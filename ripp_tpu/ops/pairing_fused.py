@@ -246,6 +246,12 @@ class FusedMiller:
         self.dbl_sched, self.add_sched = _build_step_progs(host)
         # shared state register layout (== pinned input registers)
         self.n_state = 24  # f 12, X/Y/Z 6, qx/qy 4, xP/yP 2
+        # jitted end-to-end callables per input batch shape: TRACING the
+        # register-machine kernel costs minutes of pure Python (the
+        # unrolled cheap-op segments are ~10^5 op constructions); without
+        # this cache every miller() call re-traced it (round-4: a 2^14
+        # TIPP commit spent an hour re-tracing the same kernel)
+        self._jit_cache = {}
 
     @functools.cached_property
     def _call(self):
@@ -338,38 +344,53 @@ class FusedMiller:
 
     def miller(self, xP, yP, qx, qy):
         """Batched Miller f_{|x|,Q}(P): same contract as
-        DevPairing._miller_impl (bit-identical output), one launch."""
+        DevPairing._miller_impl (bit-identical output), one launch.
+        The full tile -> kernel -> untile pipeline is jitted once per
+        batch shape (see _jit_cache note in __init__)."""
+        bshape = xP.shape[:-1]
+        fn = self._jit_cache.get(bshape)
+        if fn is None:
+            fn = self._build_jit(bshape)
+            self._jit_cache[bshape] = fn
+        return fn(xP, yP, qx, qy)
+
+    def _build_jit(self, bshape):
         spec = self.spec
         nl = spec.nl
-        bshape = xP.shape[:-1]
         B = int(np.prod(bshape)) if bshape else 1
         nb = -(-B // TILE)
         pad = nb * TILE - B
-
-        def tile(x):
-            x = jnp.broadcast_to(x, bshape + (nl,)).reshape(B, nl)
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((pad, nl), jnp.uint32)], axis=0)
-            return x.T.reshape(nl, nb, 8, 128)
-
         make, tab, bits = self._call
-        ins = jnp.stack([tile(qx[0]), tile(qx[1]), tile(qy[0]),
-                         tile(qy[1]), tile(xP), tile(yP)])
-        out = make(nb)(tab, bits, ins)
+        call = make(nb)
 
-        def untile(k):
-            o = out[k].reshape(nl, nb * TILE).T
-            if pad:
-                o = o[:B]
-            return o.reshape(*bshape, nl)
+        def impl(xP, yP, qx, qy):
+            def tile(x):
+                x = jnp.broadcast_to(x, bshape + (nl,)).reshape(B, nl)
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad, nl), jnp.uint32)], axis=0)
+                return x.T.reshape(nl, nb, 8, 128)
 
-        rows = [untile(k) for k in range(12)]
-        # rows are fp12 flat order: ((0,1),(2,3),(4,5)), ((6,7),(8,9),(10,11))
-        return (
-            ((rows[0], rows[1]), (rows[2], rows[3]), (rows[4], rows[5])),
-            ((rows[6], rows[7]), (rows[8], rows[9]), (rows[10], rows[11])),
-        )
+            ins = jnp.stack([tile(qx[0]), tile(qx[1]), tile(qy[0]),
+                             tile(qy[1]), tile(xP), tile(yP)])
+            out = call(tab, bits, ins)
+
+            def untile(k):
+                o = out[k].reshape(nl, nb * TILE).T
+                if pad:
+                    o = o[:B]
+                return o.reshape(*bshape, nl)
+
+            rows = [untile(k) for k in range(12)]
+            # fp12 flat order: ((0,1),(2,3),(4,5)), ((6,7),(8,9),(10,11))
+            return (
+                ((rows[0], rows[1]), (rows[2], rows[3]),
+                 (rows[4], rows[5])),
+                ((rows[6], rows[7]), (rows[8], rows[9]),
+                 (rows[10], rows[11])),
+            )
+
+        return jax.jit(impl)
 
 
 _FUSED = {}
