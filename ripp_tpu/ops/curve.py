@@ -192,10 +192,18 @@ class DevSWCurve:
         """P * k where bits is a uint32 array of k's bits, MSB first, shape
         [nbits] (shared scalar) or [batch..., nbits] (per-element scalars).
 
-        Dispatches to the one-launch fused Pallas ladder on TPU
-        (ops/curve_fused.py, bit-identical outputs); otherwise the
-        lax.scan double-and-add below."""
-        if self._fused_ladder_factory is not None and use_fused():
+        RIPP_FUSED_LADDER=1 dispatches to the one-launch fused Pallas
+        ladder on TPU (ops/curve_fused.py, bit-identical outputs).
+        OPT-IN, unlike the fused Miller: ladders are a small share of
+        protocol time (the pairing products dominate), but the fused
+        ladder's one-time costs are large - minutes of per-process kernel
+        trace plus tens of minutes of first Mosaic compile per
+        (batch, nbits) family (round-4 measurement: they dominated a 2^12
+        aggregation end-to-end at 3634 s). The lax.scan ladder below
+        amortizes better at every scale measured so far."""
+        if (self._fused_ladder_factory is not None
+                and os.environ.get("RIPP_FUSED_LADDER") == "1"
+                and use_fused()):
             return self._fused_ladder_factory().scalar_mul_bits(P, bits)
         return self._scalar_mul_bits_scan(P, bits)
 

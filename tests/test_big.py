@@ -101,14 +101,21 @@ def test_tipa_2_14():
     )
     print(f"TIPA commit 2^14: {time.perf_counter()-t0:.1f} s")
 
-    t0 = time.perf_counter()
-    proof = tipa.prove(cfg, srs, (m_a, m_b), (ck_a, ck_b, ck_t))
-    prove_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ok = tipa.verify(cfg, v_srs, ck_t, com, proof)
-    verify_s = time.perf_counter() - t0
-    print(f"TIPA 2^14: prove {prove_s:.1f} s, verify {verify_s:.1f} s")
-    assert ok
+    import os as _os
+
+    reps = int(_os.environ.get("RIPP_BIG_REPEAT", "1"))
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        proof = tipa.prove(cfg, srs, (m_a, m_b), (ck_a, ck_b, ck_t))
+        prove_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ok = tipa.verify(cfg, v_srs, ck_t, com, proof)
+        verify_s = time.perf_counter() - t0
+        # rep 0 pays the per-process trace/compile warmup; later reps are
+        # the steady-state numbers (RIPP_BIG_REPEAT=2)
+        print(f"TIPA 2^14 (rep {rep}): prove {prove_s:.1f} s, "
+              f"verify {verify_s:.1f} s")
+        assert ok
 
 
 def test_groth16_aggregation_2_12():
