@@ -40,32 +40,39 @@ def setup_inner_product(ctx: DevCurveCtx, rng, size: int) -> tipa.SRS:
 
 def _challenge_r(ctx: DevCurveCtx, com_a, com_b, com_c) -> int:
     """Fiat-Shamir r = H(nonce || com_a || com_b || com_c)
-    (groth16_aggregation.rs:105-118)."""
+    (groth16_aggregation.rs:105-118); ark-ff from_random_bytes semantics
+    (top-limb shave + reject) via challenge_field."""
+    from ..utils.fiat_shamir import challenge_field
+
     host = ctx.host
     gt = HostAlg(host, "gt")
     base = gt.ser(com_a) + gt.ser(com_b) + gt.ser(com_c)
-    counter = 0
-    while True:
-        digest = blake2b_digest(nonce_bytes(counter) + base)
-        v = int.from_bytes(digest[:32], "little")
-        if v < host.r:
-            return v
-        counter += 1
+    return challenge_field(
+        blake2b_digest, lambda counter: nonce_bytes(counter) + base, host.r
+    )
 
 
 def aggregate_proofs(ctx: DevCurveCtx, ip_srs: tipa.SRS,
-                     proofs: Sequence[Proof]) -> AggregateProof:
+                     proofs: Sequence[Proof], mesh=None) -> AggregateProof:
     a = PointVec.from_host(ctx, "g1", [p.a for p in proofs])
     b = PointVec.from_host(ctx, "g2", [p.b for p in proofs])
     c = PointVec.from_host(ctx, "g1", [p.c for p in proofs])
-    return aggregate_proofs_vec(ctx, ip_srs, a, b, c)
+    return aggregate_proofs_vec(ctx, ip_srs, a, b, c, mesh=mesh)
 
 
 def aggregate_proofs_vec(ctx: DevCurveCtx, ip_srs: tipa.SRS,
-                         a: PointVec, b: PointVec, c: PointVec
-                         ) -> AggregateProof:
+                         a: PointVec, b: PointVec, c: PointVec,
+                         mesh=None) -> AggregateProof:
     """Aggregate from device-resident proof columns (the batched fixture
-    prover's output feeds this directly, no host round-trip)."""
+    prover's output feeds this directly, no host round-trip).
+
+    mesh: optional jax.sharding.Mesh - when given, the proof columns,
+    commitment keys and r-power vectors become mesh-resident
+    (parallel/vectors.py cyclic sharding), so the three AFGHO column
+    commitments, ip_ab, agg_c and BOTH TIPA proves run as per-device
+    partials + ICI all-reduces with device-local folds.  Proof bytes are
+    identical to the single-device path (exact commutative reductions;
+    tests/parallel_check.py)."""
     host = ctx.host
     r_mod = host.r
     n = len(a)
@@ -73,6 +80,21 @@ def aggregate_proofs_vec(ctx: DevCurveCtx, ip_srs: tipa.SRS,
     cfg_c = mipp_ssm_config(ctx)
 
     ck_1, ck_2 = ip_srs.get_commitment_keys()
+    if mesh is not None:
+        from ..parallel.vectors import ShardedFrVec, ShardedPointVec
+
+        a = ShardedPointVec.from_dense(mesh, a)
+        b = ShardedPointVec.from_dense(mesh, b)
+        c = ShardedPointVec.from_dense(mesh, c)
+        ck_1 = ShardedPointVec.from_dense(mesh, ck_1)
+        ck_2 = ShardedPointVec.from_dense(mesh, ck_2)
+
+        def fr_vec(ints):
+            return ShardedFrVec.from_ints(ctx, mesh, ints)
+    else:
+        def fr_vec(ints):
+            return FrVec.from_ints(ctx, ints)
+
     com_a = cfg_ab.lmc.commit(ck_1, a)
     com_b = cfg_ab.rmc.commit(ck_2, b)
     com_c = cfg_ab.lmc.commit(ck_1, c)
@@ -81,17 +103,17 @@ def aggregate_proofs_vec(ctx: DevCurveCtx, ip_srs: tipa.SRS,
     r_vec = structured_scalar_power(n, r, r_mod)
     r_inv_vec = [pow(x, -1, r_mod) for x in r_vec]
 
-    a_r = a.hadamard_scale(FrVec.from_ints(ctx, r_vec))
+    a_r = a.hadamard_scale(fr_vec(r_vec))
     ip_ab = cfg_ab.ip.compute(a_r, b)
-    agg_c = c.msm(FrVec.from_ints(ctx, r_vec))
-    ck_1_r = ck_1.hadamard_scale(FrVec.from_ints(ctx, r_inv_vec))
+    agg_c = c.msm(fr_vec(r_vec))
+    ck_1_r = ck_1.hadamard_scale(fr_vec(r_inv_vec))
 
     ck_t = cfg_ab.ipc.setup(None, 1)
     tipa_proof_ab = tipa.prove_with_srs_shift(
         cfg_ab, ip_srs, (a_r, b), (ck_1_r, ck_2, ck_t), r
     )
     tipa_proof_c = ssm.prove_tipa_ssm(
-        cfg_c, ip_srs, c, FrVec.from_ints(ctx, r_vec), ck_1,
+        cfg_c, ip_srs, c, fr_vec(r_vec), ck_1,
         cfg_c.ipc.setup(None, 1),
     )
     return AggregateProof(

@@ -181,19 +181,18 @@ def verify_commitment_key_g1_kzg_opening(ctx: DevCurveCtx, v_srs: VerifierSRS,
 
 def kzg_challenge(ctx: DevCurveCtx, first_challenge: int, ck_parts: List[bytes]
                   ) -> int:
-    """from_random_bytes counter loop (tipa/mod.rs:194-209)."""
+    """from_random_bytes counter loop (tipa/mod.rs:194-209); ark-ff
+    semantics (top-limb shave + reject) via challenge_field."""
+    from ..utils.fiat_shamir import challenge_field
+
     host = ctx.host
     fr_alg = HostAlg(host, "fr")
-    counter = 0
-    while True:
-        digest = blake2b_digest(
-            nonce_bytes(counter) + fr_alg.ser(first_challenge)
-            + b"".join(ck_parts)
-        )
-        v = int.from_bytes(digest[:32], "little")
-        if v < host.r:
-            return v
-        counter += 1
+
+    def material(counter: int) -> bytes:
+        return (nonce_bytes(counter) + fr_alg.ser(first_challenge)
+                + b"".join(ck_parts))
+
+    return challenge_field(blake2b_digest, material, host.r)
 
 
 # --------------------------------------------------------------------------

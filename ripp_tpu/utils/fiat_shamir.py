@@ -13,7 +13,9 @@ Two mechanisms, mirroring the reference exactly:
      - 128-bit challenges: u128 from the FIRST 16 digest bytes, BIG endian,
        embedded into Fr; retried until invertible.
      - full-width challenges: Fr::from_random_bytes(digest) = LE integer of
-       the first 32 digest bytes, rejected (counter += 1) when >= r.
+       the first ceil(bits/64) u64 limbs with the top limb shaved to
+       MODULUS_BIT_SIZE bits (ark-ff REPR_SHAVE_BITS), rejected
+       (counter += 1) when >= r.
 
 Digests: Blake2b-512 for ip_proofs, Blake2s-256 for SIPP (python hashlib
 matches the RustCrypto defaults used by the reference).
@@ -84,17 +86,33 @@ def challenge_u128(digest_fn: Callable[[bytes], bytes],
         counter += 1
 
 
+def field_from_random_bytes(data: bytes, r_modulus: int) -> Optional[int]:
+    """ark-ff 0.4 Fp::from_random_bytes semantics: read ceil(bits/64)
+    little-endian u64 limbs from the input, MASK the top limb by
+    REPR_SHAVE_BITS (= 64*limbs - MODULUS_BIT_SIZE), return None if the
+    masked integer is >= the modulus.
+
+    The mask is what makes the rejection loop terminate for any modulus
+    (without it a 24-bit test-curve r rejects ~2^-232 of draws - the
+    round-4 hang in _challenge_r) and what matches arkworks' accept/reject
+    pattern bit-for-bit on BLS12-381/377."""
+    bits = r_modulus.bit_length()
+    limbs = (bits + 63) // 64
+    v = int.from_bytes(data[: limbs * 8], "little")
+    v &= (1 << bits) - 1  # shave REPR_SHAVE_BITS off the top limb
+    return v if v < r_modulus else None
+
+
 def challenge_field(digest_fn: Callable[[bytes], bytes],
                     material: Callable[[int], bytes],
-                    r_modulus: int,
-                    nbytes: int = 32) -> int:
-    """from_random_bytes-style challenge: LE int of digest[:nbytes], rejected
-    while >= r (counter nonce loop; tipa/mod.rs:196-209)."""
+                    r_modulus: int) -> int:
+    """from_random_bytes-style challenge with the counter-nonce rejection
+    loop (tipa/mod.rs:196-209)."""
     counter = 0
     while True:
         h = digest_fn(material(counter))
-        v = int.from_bytes(h[:nbytes], "little")
-        if v < r_modulus:
+        v = field_from_random_bytes(h, r_modulus)
+        if v is not None:
             return v
         counter += 1
 

@@ -150,6 +150,35 @@ def check_sharded_gipa_byte_identical(ctx, mesh, n=64):
     print(f"sharded gipa(tipp) byte-identical ok (n={n})")
 
 
+def check_sharded_aggregation_byte_identical(ctx, mesh, n=32):
+    """Round-4: Groth16 aggregation's two TIPA proves ride the mesh
+    (aggregate_proofs_vec(mesh=...)); the aggregate proof bytes must be
+    IDENTICAL to the single-device aggregation.  Proof columns are random
+    group elements - aggregation does not verify the underlying Groth16
+    proofs, so transcript identity is fully exercised without a Groth16
+    fixture prover on the test curve."""
+    from ripp_tpu.applications import groth16_aggregation as agg
+    from ripp_tpu.models import tipa
+    from ripp_tpu.models.vectors import PointVec
+    from ripp_tpu.utils.proof_io import ser_aggregate_proof
+
+    rng = SeededRng(13)
+    host = ctx.host
+    srs = tipa.setup_srs(ctx, rng, n)
+    a = PointVec.from_host(
+        ctx, "g1", [rand_sw_point(rng, host.g1) for _ in range(n)])
+    b = PointVec.from_host(
+        ctx, "g2", [rand_sw_point(rng, host.g2) for _ in range(n)])
+    c = PointVec.from_host(
+        ctx, "g1", [rand_sw_point(rng, host.g1) for _ in range(n)])
+    dense = agg.aggregate_proofs_vec(ctx, srs, a, b, c)
+    sharded = agg.aggregate_proofs_vec(ctx, srs, a, b, c, mesh=mesh)
+    assert (ser_aggregate_proof(ctx, dense)
+            == ser_aggregate_proof(ctx, sharded)), \
+        "sharded aggregation proof bytes diverge"
+    print(f"sharded aggregation byte-identical ok (n={n})")
+
+
 def check_dryrun():
     import __graft_entry__ as ge
 
@@ -157,7 +186,7 @@ def check_dryrun():
     print("dryrun_multichip ok")
 
 
-PHASES = ("msm", "pairing", "sipp", "gipa", "dryrun")
+PHASES = ("msm", "pairing", "sipp", "gipa", "agg", "dryrun")
 # sipp381 is NOT in the default phase list: the full-width BLS12-381
 # sharded Miller program costs >40 min of XLA:CPU compile on this
 # 1-core host (warm .jax_cache_cpu: seconds).  Run it explicitly:
@@ -178,6 +207,8 @@ def _run_phase(name: str) -> None:
         check_sharded_sipp_byte_identical(ctx, mesh)
     elif name == "gipa":
         check_sharded_gipa_byte_identical(ctx, mesh)
+    elif name == "agg":
+        check_sharded_aggregation_byte_identical(ctx, mesh)
     elif name == "sipp381":
         # the real-curve protocol-level contract (round-1 verdict #3):
         # byte-identical sharded proving at n=16 on BLS12-381

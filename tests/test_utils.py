@@ -86,3 +86,29 @@ def test_group_serialization_roundtrip():
     from ripp_tpu.host.pairing import pairing
     e = pairing(c, c.g1_gen, c.g2_gen)
     assert len(s.gt(e)) == 12 * 48
+
+
+def test_field_from_random_bytes_ark_semantics():
+    """ark-ff Fp::from_random_bytes: LE limbs, top limb shaved to the
+    modulus bit size (REPR_SHAVE_BITS), None when still >= modulus. The
+    shave is what terminates the rejection loops on small-r test curves
+    (round-4: _challenge_r hung on bls12_nano without it)."""
+    from ripp_tpu.utils.fiat_shamir import field_from_random_bytes
+
+    r = (1 << 61) - 1  # 61-bit modulus -> 1 limb, shave 3 bits
+    data = (0xFFFF_FFFF_FFFF_FFFF).to_bytes(8, "little") + b"\xaa" * 24
+    v = field_from_random_bytes(data, r)
+    # masked to 61 bits = 2^61 - 1 = r -> rejected
+    assert v is None
+    data = ((1 << 61) - 2).to_bytes(8, "little") + b"\xaa" * 24
+    assert field_from_random_bytes(data, r) == (1 << 61) - 2
+    # bytes beyond the limb window are ignored
+    assert field_from_random_bytes(
+        (123).to_bytes(8, "little") + b"\xff" * 24, r) == 123
+    # 255-bit modulus: 4 limbs, shave 1 bit
+    r381 = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+    top = (1 << 256) - 1
+    v = field_from_random_bytes(top.to_bytes(32, "little"), r381)
+    assert v is None  # 2^255 - 1 >= r381
+    ok = (r381 - 1) | (1 << 255)  # top bit shaved away -> accepted
+    assert field_from_random_bytes(ok.to_bytes(32, "little"), r381) == r381 - 1
