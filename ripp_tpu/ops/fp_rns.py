@@ -27,8 +27,10 @@ Pipeline per multiplication (Bajard/Kawamura/Shenoy-Kumaresan family):
   5. exact Shenoy-Kumaresan extension r -> A using the redundant channel
      (beta recovered mod 2^16; a second int8 MXU matmul).
 
-  Result ≡ a*b*M_A^{-1} (mod p), bounded < 2p + 1 < 4p: the < 4p
-  representative invariant is closed under chaining (M_A > 2^390 >> 16p).
+  Result ≡ a*b*M_A^{-1} (mod p), bounded < 2p + 16p^2/M_A
+  < 2p + p/(k+2) < 4p (c = a*b < 16p^2 and q' < 2*M_A under the
+  M_A > 16p(k+2) setup check): the < 4p representative invariant is
+  closed under chaining (M_A > 2^390 >> 16p).
 
 Channel modular reductions use a float32-reciprocal Barrett (valid for
 z < 2^30 against 14-bit moduli; quotient off by at most one either way,
@@ -199,7 +201,8 @@ def make_rns_mul(p: int, k: int = 29):
     CHANNEL-MAJOR: the batch rides the minor (128-lane) dimension, so
     every per-channel elementwise op runs at full VPU lane utilization
     (channel-minor measured 40.0 M muls/s on v5e; see BASELINE.md).
-    Returns mul(a, b) -> a*b*MA^{-1} mod p (same layout, < 2p+1).
+    Returns mul(a, b) -> a*b*MA^{-1} mod p (same layout,
+    < 2p + p/(k+2) < 4p).
     """
     s = rns_spec(p, k)
     mA, mB = jnp.asarray(s["mA_a"][:, None]), jnp.asarray(s["mB_a"][:, None])
@@ -227,11 +230,17 @@ def make_rns_mul(p: int, k: int = 29):
         q = _mulmod(cA, neg_pinv_A, mA, inv_mA_f)
         # 3. sigma + approximate extension A -> B, m_r
         sig = _mulmod(q, invMAi, mA, inv_mA_f)
-        # alpha biased LOW: q' = q + beta*MA, beta in {0, 1}
+        # alpha biased LOW: q' = q + beta*MA, beta in {0, 1}.
+        # floor() can be -1.0 (q=0 => all sigma=0 => floor(-2^-10)): go
+        # through int32 first — float->int32 of -1.0 is exact and
+        # int32->uint32 is defined two's-complement wrap, whereas a
+        # negative float->uint32 cast is backend-dependent (LLVM fptoui
+        # poison). alpha = 0xFFFFFFFF keeps the corr/qr arithmetic
+        # correct under mod-2^32 wrap.
         alpha = jnp.floor(
             jnp.sum(sig.astype(jnp.float32) * inv_mA_low, axis=0)
             - jnp.float32(2 ** -10)
-        ).astype(jnp.uint32)  # [B]
+        ).astype(jnp.int32).astype(jnp.uint32)  # [B]
         zB = _ext_matmul(sig, W1, kk)  # < 2^28
         # subtract alpha*MA mod m_j, keep nonnegative with +32*m_j
         corr = 32 * mB - alpha[None, :] * MA_mod_B

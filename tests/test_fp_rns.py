@@ -41,6 +41,21 @@ def test_rns_mul_matches_host_single():
     assert got == want
 
 
+def test_rns_mul_edge_values():
+    """0/1/p-1 operands — a zero operand gives q=0, all sigma=0 and an
+    alpha estimate of floor(-2^-10) = -1, the deterministic trigger of
+    the negative-float alpha cast (ADVICE r4): must stay exact."""
+    a = [0, 1, P381 - 1, 0, 7, P381 - 1, 1, 0]
+    b = [5, 0, P381 - 1, 0, 0, 1, 1, P381 - 1]
+    s = rns_spec(P381)
+    MAinv = pow(s["MA"], -1, P381)
+    mul = jax.jit(make_rns_mul(P381))
+    out = mul(to_rns(P381, a), to_rns(P381, b))
+    got = from_rns_base_a(P381, np.asarray(out[0]))
+    want = [(x * y * MAinv) % P381 for x, y in zip(a, b)]
+    assert got == want
+
+
 def test_rns_mul_residue_consistency():
     """Base-B and redundant-channel residues agree with the base-A value."""
     s = rns_spec(P381)
