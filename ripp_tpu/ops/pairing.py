@@ -49,12 +49,16 @@ class DevPairing:
             self.xi_inv = (t.fp.const(xi_inv[0]), t.fp.const(xi_inv[1]))
         else:
             self.xi_inv = None
-        self._miller_jit = jax.jit(self._miller_impl)
+        from ..utils.aotcache import aot_jit
+
+        self._miller_jit = aot_jit(
+            f"miller_scan-{host.name}", self._miller_impl)
         self.product_reduce = jax.jit(self.product_reduce)
         self._finalexp_jit = None
         self._gtexp_jit = None
         self._mul1_jit = jax.jit(self.fp12.mul)
         self._fused = None
+        self._rns = None
 
     @property
     def fused(self):
@@ -317,15 +321,12 @@ class DevPairing:
         z = jnp.zeros_like(o)
         return ((o, z), (z, z), (z, z)), ((z, z), (z, z), (z, z))
 
-    def miller_batch(self, g1_aff, g2_aff):
-        """g1_aff: (x, y, inf) from DevSWCurve.normalize on G1;
-        g2_aff: (x, y, inf) on G2. Returns per-pair Miller values [n], with
-        identity pairs already set to 1 (conjugation for negative x applied
-        on host after the final product)."""
+    def _masked_inputs(self, g1_aff, g2_aff):
+        """Mask degenerate (identity) pairs to the generator so the Miller
+        loop stays regular; returns (xP, yP, qx, qy, skip)."""
         xP, yP, p_inf = g1_aff
         qx, qy, q_inf = g2_aff
         skip = jnp.logical_or(p_inf, q_inf)
-        # mask degenerate pairs to the generator so the loop stays regular
         gen1 = self.ctx.g1_to_dev([self.ctx.host.g1_gen])
         gen2 = self.ctx.g2_to_dev([self.ctx.host.g2_gen])
         g1x = jnp.broadcast_to(gen1[0][0], xP.shape)
@@ -336,6 +337,14 @@ class DevPairing:
             lambda g: jnp.broadcast_to(g[0], xP.shape), gen2[0]), qx)
         qy = tree_select(skip, jax.tree.map(
             lambda g: jnp.broadcast_to(g[0], xP.shape), gen2[1]), qy)
+        return xP, yP, qx, qy, skip
+
+    def miller_batch(self, g1_aff, g2_aff):
+        """g1_aff: (x, y, inf) from DevSWCurve.normalize on G1;
+        g2_aff: (x, y, inf) on G2. Returns per-pair Miller values [n], with
+        identity pairs already set to 1 (conjugation for negative x applied
+        on host after the final product)."""
+        xP, yP, qx, qy, skip = self._masked_inputs(g1_aff, g2_aff)
         if use_fused():
             # one-launch Pallas register machine; bit-identical to the
             # scan path (tests/test_pairing_fused.py)
@@ -344,6 +353,23 @@ class DevPairing:
             f = self._miller_jit(xP, yP, qx, qy)
         one = self._ones_fp12(xP.shape[:-1])
         return tree_select(skip, one, f)
+
+    def miller_product(self, g1_aff, g2_aff):
+        """Miller product of an affine pair batch -> [1, ...] fp12 limb
+        tree (== product_reduce(miller_batch(...))). With RIPP_RNS=1 the
+        whole loop + product tree runs in RNS form with int8 MXU base
+        extensions (ops/pairing_rns.py) and only the final product is
+        converted back to limbs."""
+        from .pairing_rns import use_rns
+
+        if use_rns():
+            if self._rns is None:
+                from .pairing_rns import rns_miller
+
+                self._rns = rns_miller(self.ctx)
+            xP, yP, qx, qy, skip = self._masked_inputs(g1_aff, g2_aff)
+            return self._rns.product(xP, yP, qx, qy, skip)
+        return self.product_reduce(self.miller_batch(g1_aff, g2_aff))
 
     def product_reduce(self, f):
         """Product of an Fp12 batch along axis 0 -> [1, ...] element (single
@@ -493,6 +519,8 @@ class DevPairing:
         f = self.ctx.t.fp12_to_dev(list(gs) + [one_gt] * (kp - k))
 
         if self._gtexp_jit is None:
+            from ..utils.aotcache import aot_jit
+
             F12 = self.fp12
 
             def impl(f, bits):
@@ -509,8 +537,9 @@ class DevPairing:
                 )
                 return acc
 
-            self._gtexp_jit = jax.jit(impl)
-        out = self._gtexp_jit(f, bits)
+            self._gtexp_jit = aot_jit(
+                f"gtexp-{self.ctx.host.name}", impl)
+        out = self._gtexp_jit(f, jnp.asarray(bits))
         return self.ctx.t.fp12_from_dev(out)[:k]
 
     def finalize_product(self, prod, conj_for_x: bool = True):
@@ -522,6 +551,8 @@ class DevPairing:
         from .curve import MIN_REDUCE_BATCH
 
         if self._finalexp_jit is None:
+            from ..utils.aotcache import aot_jit
+
             F6 = self.fp6
 
             def run(p, neg):
@@ -530,7 +561,10 @@ class DevPairing:
                 )
                 return self._final_exp_impl(p)
 
-            self._finalexp_jit = jax.jit(run)
+            # AOT export cache: the 4 seed-ladder scans trace ~10^4 ops
+            # per fresh process (utils/aotcache.py, VERDICT r4 item 4)
+            self._finalexp_jit = aot_jit(
+                f"finalexp-{self.ctx.host.name}", run)
         padded = jax.tree.map(
             lambda x: jnp.concatenate(
                 [x] + [x] * (MIN_REDUCE_BATCH - 1), axis=0
@@ -569,8 +603,7 @@ class DevPairing:
             Qc = jax.tree.map(lambda x: x[sl], Q_proj)
             g1a = self.ctx.g1.normalize(Pc)
             g2a = self.ctx.g2.normalize(Qc)
-            f = self.miller_batch(g1a, g2a)
-            prod = self.product_reduce(f)
+            prod = self.miller_product(g1a, g2a)
             acc = prod if acc is None else self._mul1_jit(acc, prod)
         return self.finalize_product(acc)
 
