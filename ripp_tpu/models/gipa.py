@@ -184,24 +184,28 @@ def compute_recursive_challenges(cfg: GIPAConfig, com, proof: GIPAProof
     Returns (base_com, transcript) with transcript reversed like the
     reference (final round first).  The fold is an abelian sum, so all
     rounds' scalar terms batch together (see _fold_terms)."""
+    from ..utils.trace import scope
+
     transcript: List[int] = []
     prev_c = 0
-    for com_1, com_2 in reversed(proof.steps):  # prove order
-        c, c_inv = round_challenge(cfg, prev_c, com_1, com_2)
-        transcript.append(c)
-        prev_c = c
+    with scope("Replay Fiat-Shamir challenges"):
+        for com_1, com_2 in reversed(proof.steps):  # prove order
+            c, c_inv = round_challenge(cfg, prev_c, com_1, com_2)
+            transcript.append(c)
+            prev_c = c
     r = cfg.ctx.host.r
     c_invs = [pow(c, -1, r) for c in transcript]
 
     algs = (cfg.lmc.out_alg, cfg.rmc.out_alg, cfg.ipc.out_alg)
     folded = []
-    for slot, alg in enumerate(algs):
-        elems, exps = [], []
-        for (com_1, com_2), c, ci in zip(reversed(proof.steps),
-                                         transcript, c_invs):
-            elems += [com_1[slot], com_2[slot]]
-            exps += [c, ci]
-        folded.append(_fold_terms(cfg, alg, com[slot], elems, exps))
+    with scope("Fold commitments"):
+        for slot, alg in enumerate(algs):
+            elems, exps = [], []
+            for (com_1, com_2), c, ci in zip(reversed(proof.steps),
+                                             transcript, c_invs):
+                elems += [com_1[slot], com_2[slot]]
+                exps += [c, ci]
+            folded.append(_fold_terms(cfg, alg, com[slot], elems, exps))
     return tuple(folded), list(reversed(transcript))
 
 

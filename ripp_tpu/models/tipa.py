@@ -257,11 +257,14 @@ def prove(cfg: gipa.GIPAConfig, srs: SRS, values, ck) -> TIPAProof:
 
 def verify_with_srs_shift(cfg: gipa.GIPAConfig, v_srs: VerifierSRS, ck_t,
                           com, proof: TIPAProof, r_shift: int) -> bool:
+    from ..utils.trace import scope
+
     ctx = cfg.ctx
     host = ctx.host
-    base_com, transcript = gipa.compute_recursive_challenges(
-        cfg, com, proof.gipa_proof
-    )
+    with scope("Verify recursive challenge transcript"):  # tipa/mod.rs:223
+        base_com, transcript = gipa.compute_recursive_challenges(
+            cfg, com, proof.gipa_proof
+        )
     transcript_inverse = [pow(c, -1, host.r) for c in transcript]
 
     ck_a_final, ck_b_final = proof.final_ck
@@ -272,22 +275,25 @@ def verify_with_srs_shift(cfg: gipa.GIPAConfig, v_srs: VerifierSRS, ck_t,
                       [_ser_key(s, cfg.lmc.key_kind, ck_a_final),
                        _ser_key(s, cfg.rmc.key_kind, ck_b_final)])
 
-    ck_a_valid = verify_commitment_key_g2_kzg_opening(
-        ctx, v_srs, ck_a_final, ck_a_proof, transcript_inverse,
-        pow(r_shift, -1, host.r), c,
-    )
-    ck_b_valid = verify_commitment_key_g1_kzg_opening(
-        ctx, v_srs, ck_b_final, ck_b_proof, transcript, 1, c,
-    )
+    with scope("Check commitment key"):  # tipa/mod.rs:241
+        ck_a_valid = verify_commitment_key_g2_kzg_opening(
+            ctx, v_srs, ck_a_final, ck_a_proof, transcript_inverse,
+            pow(r_shift, -1, host.r), c,
+        )
+        ck_b_valid = verify_commitment_key_g1_kzg_opening(
+            ctx, v_srs, ck_b_final, ck_b_proof, transcript, 1, c,
+        )
 
-    com_a, com_b, com_t = base_com
-    a_base, b_base = proof.gipa_proof.r_base
-    t_base = cfg.ip_single(a_base, b_base)
-    base_valid = (
-        cfg.lmc.verify_single(ck_a_final, a_base, com_a)
-        and cfg.rmc.verify_single(ck_b_final, b_base, com_b)
-        and cfg.ipc.verify_single(PLACEHOLDER, t_base, com_t)
-    )
+    with scope("Compute base commitment"):  # tipa/mod.rs:253
+        com_a, com_b, com_t = base_com
+        a_base, b_base = proof.gipa_proof.r_base
+        t_base = cfg.ip_single(a_base, b_base)
+    with scope("Check base commitment"):  # tipa/mod.rs:259
+        base_valid = (
+            cfg.lmc.verify_single(ck_a_final, a_base, com_a)
+            and cfg.rmc.verify_single(ck_b_final, b_base, com_b)
+            and cfg.ipc.verify_single(PLACEHOLDER, t_base, com_t)
+        )
     return ck_a_valid and ck_b_valid and base_valid
 
 

@@ -28,6 +28,15 @@ _suffix = "_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else ""
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache" + _suffix
 )
+
+# The axon sitecustomize hook calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, which OVERRIDES the env var: a run
+# that asked for CPU would silently claim (and contend for) the one real
+# TPU chip. Re-assert the request through the config API, which wins.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize hook overrides JAX_PLATFORMS via jax.config at
+# interpreter start; re-assert the CPU request (see tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from ripp_tpu.host import pairing as hp  # noqa: E402
 from ripp_tpu.ops.points import dev_ctx  # noqa: E402
 from ripp_tpu.parallel import (  # noqa: E402
