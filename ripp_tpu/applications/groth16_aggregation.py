@@ -193,21 +193,36 @@ def verify_aggregate_proof(ctx: DevCurveCtx, v_srs: tipa.VerifierSRS,
 
     r = _challenge_r(ctx, proof.com_a, proof.com_b, proof.com_c)
 
+    # One batched PairingCheck spans ALL three sub-verifications: the
+    # TIPP-AB proof (KZG openings + base commitments), the MIPP-SSM-C
+    # proof, and the aggregated product equation below — a single device
+    # Miller batch + final exponentiation instead of ~10 host pairings
+    # (models/pairing_check.py; RIPP_BATCH_VERIFY=0 restores the
+    # reference's per-equation shape).
+    import os as _os
+
+    batch = _os.environ.get("RIPP_BATCH_VERIFY", "1") != "0"
+    if batch:
+        from ..models.pairing_check import PairingCheck
+
+        pc = PairingCheck(ctx)
+    else:
+        pc = None
+
     ab_valid = tipa.verify_with_srs_shift(
         cfg_ab, v_srs, cfg_ab.ipc.setup(None, 1),
         (proof.com_a, proof.com_b, IdentityOutput([proof.ip_ab], "gt")),
-        proof.tipa_proof_ab, r,
+        proof.tipa_proof_ab, r, pc=pc,
     )
     c_valid = ssm.verify_tipa_ssm(
         cfg_c, v_srs, cfg_c.ipc.setup(None, 1), proof.com_c,
         IdentityOutput([proof.agg_c], "g1"), r, proof.tipa_proof_c,
+        pc=pc,
     )
 
     # aggregated pairing-product equation (groth16_aggregation.rs:208-228)
     r_sum = (pow(r, n, r_mod) - 1) * pow(r - 1, -1, r_mod) % r_mod
-    p1 = hp.pairing(
-        host, host.g1.scalar_mul(vk.alpha_g1, r_sum), vk.beta_g2
-    )
+    alpha_r = host.g1.scalar_mul(vk.alpha_g1, r_sum)
     assert len(vk.gamma_abc_g1) == len(public_inputs[0]) + 1
     r_vec = structured_scalar_power(n, r, r_mod)
     g_ic = host.g1.scalar_mul(vk.gamma_abc_g1[0], r_sum)
@@ -216,6 +231,11 @@ def verify_aggregate_proof(ctx: DevCurveCtx, v_srs: tipa.VerifierSRS,
             public_inputs[k][i] * r_vec[k] for k in range(n)
         ) % r_mod
         g_ic = host.g1.add(g_ic, host.g1.scalar_mul(base, col_ip))
+    if pc is not None:
+        pc.add([(alpha_r, vk.beta_g2), (g_ic, vk.gamma_g2),
+                (proof.agg_c, vk.delta_g2)], rhs=proof.ip_ab)
+        return ab_valid and c_valid and pc.verify()
+    p1 = hp.pairing(host, alpha_r, vk.beta_g2)
     p2 = hp.pairing(host, g_ic, vk.gamma_g2)
     p3 = hp.pairing(host, proof.agg_c, vk.delta_g2)
     ppe_valid = proof.ip_ab == hp.gt_mul(host, hp.gt_mul(host, p1, p2), p3)

@@ -90,12 +90,17 @@ def prove_tipa_ssm(cfg: gipa.GIPAConfig, srs: tipa.SRS, m_a, m_b, ck_a, ck_t
 
 
 def verify_tipa_ssm(cfg: gipa.GIPAConfig, v_srs: tipa.VerifierSRS, ck_t,
-                    com_a, com_t, scalar_b: int, proof: TIPAWithSSMProof
-                    ) -> bool:
+                    com_a, com_t, scalar_b: int, proof: TIPAWithSSMProof,
+                    pc=None) -> bool:
     """TIPAWithSSM::verify_with_structured_scalar_message (:270-331).
 
     Note: the com_b slot of the recursive fold is seeded with scalar_b itself
-    (commitments on that side are all 0, so it rides through unchanged)."""
+    (commitments on that side are all 0, so it rides through unchanged).
+
+    With `pc` supplied, the KZG opening + AFGHO base check accumulate into
+    the caller's batched PairingCheck (see tipa.verify_with_srs_shift)."""
+    import os
+
     host = cfg.ctx.host
     base_com, transcript = gipa.compute_recursive_challenges(
         cfg, (com_a, scalar_b % host.r, com_t), proof.gipa_proof
@@ -104,14 +109,34 @@ def verify_tipa_ssm(cfg: gipa.GIPAConfig, v_srs: tipa.VerifierSRS, ck_t,
 
     s = CurveSerializer(host)
     c = tipa.kzg_challenge(cfg.ctx, transcript[0], [s.g2(proof.final_ck)])
-    ck_a_valid = tipa.verify_commitment_key_g2_kzg_opening(
-        cfg.ctx, v_srs, proof.final_ck, proof.final_ck_proof,
-        transcript_inverse, 1, c,
-    )
 
     b_base = ssm_final_scalar(transcript, scalar_b, host.r)
     com_a_f, _, com_t_f = base_com
     a_base = proof.gipa_proof.r_base[0]
+
+    from .commitments import AFGHOCommitmentG1
+
+    if (os.environ.get("RIPP_BATCH_VERIFY", "1") != "0"
+            and isinstance(cfg.lmc, AFGHOCommitmentG1)):
+        from .pairing_check import PairingCheck
+
+        own = pc is None
+        if own:
+            pc = PairingCheck(cfg.ctx)
+        tipa.add_commitment_key_g2_kzg_check(
+            pc, cfg.ctx, v_srs, proof.final_ck, proof.final_ck_proof,
+            transcript_inverse, 1, c,
+        )
+        pc.add([(a_base, proof.final_ck)], rhs=com_a_f)
+        t_base = cfg.ip_single(a_base, b_base)
+        if not cfg.ipc.verify_single(PLACEHOLDER, t_base, com_t_f):
+            return False
+        return pc.verify() if own else True
+
+    ck_a_valid = tipa.verify_commitment_key_g2_kzg_opening(
+        cfg.ctx, v_srs, proof.final_ck, proof.final_ck_proof,
+        transcript_inverse, 1, c,
+    )
     t_base = cfg.ip_single(a_base, b_base)
     base_valid = (
         cfg.lmc.verify_single(proof.final_ck, a_base, com_a_f)

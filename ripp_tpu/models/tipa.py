@@ -6,12 +6,15 @@ keys plus KZG openings proving they are consistent with the transcript's
 challenge polynomial.
 
 Device usage: SRS generation is a fixed-base ladder over the power vector;
-the openings are device MSMs over quotient coefficients; pairings in the
-verifier are single host pairings.
+the openings are device MSMs over quotient coefficients; the verifier's
+pairing equations (KZG key openings + base-commitment checks) batch into
+one device Miller product + final exp (models/pairing_check.py;
+RIPP_BATCH_VERIFY=0 restores the reference's per-equation host pairings).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -179,6 +182,34 @@ def verify_commitment_key_g1_kzg_opening(ctx: DevCurveCtx, v_srs: VerifierSRS,
     return lhs == rhs
 
 
+def add_commitment_key_g2_kzg_check(pc, ctx: DevCurveCtx,
+                                    v_srs: VerifierSRS, ck_final,
+                                    ck_opening, transcript: Sequence[int],
+                                    r_shift: int, c: int) -> None:
+    """Accumulate the G2-key opening equation (tipa/mod.rs:340-354) into a
+    PairingCheck: e(g, ck_final - h^f(c)) * e(-(g_beta - g^c), op) == 1."""
+    host = ctx.host
+    c_eval = poly_eval_product_form(transcript, c, r_shift, host.r)
+    x = host.g2.sub(ck_final, host.g2.scalar_mul(v_srs.h, c_eval))
+    w = host.g1.neg(
+        host.g1.sub(v_srs.g_beta, host.g1.scalar_mul(v_srs.g, c))
+    )
+    pc.add([(v_srs.g, x), (w, ck_opening)])
+
+
+def add_commitment_key_g1_kzg_check(pc, ctx: DevCurveCtx,
+                                    v_srs: VerifierSRS, ck_final,
+                                    ck_opening, transcript: Sequence[int],
+                                    r_shift: int, c: int) -> None:
+    """Accumulate the G1-key opening equation (tipa/mod.rs:356-368):
+    e(ck_final - g^f(c), h) * e(-op, h_alpha - h^c) == 1."""
+    host = ctx.host
+    c_eval = poly_eval_product_form(transcript, c, r_shift, host.r)
+    y = host.g1.sub(ck_final, host.g1.scalar_mul(v_srs.g, c_eval))
+    z = host.g2.sub(v_srs.h_alpha, host.g2.scalar_mul(v_srs.h, c))
+    pc.add([(y, v_srs.h), (host.g1.neg(ck_opening), z)])
+
+
 def kzg_challenge(ctx: DevCurveCtx, first_challenge: int, ck_parts: List[bytes]
                   ) -> int:
     """from_random_bytes counter loop (tipa/mod.rs:194-209); ark-ff
@@ -256,7 +287,13 @@ def prove(cfg: gipa.GIPAConfig, srs: SRS, values, ck) -> TIPAProof:
 
 
 def verify_with_srs_shift(cfg: gipa.GIPAConfig, v_srs: VerifierSRS, ck_t,
-                          com, proof: TIPAProof, r_shift: int) -> bool:
+                          com, proof: TIPAProof, r_shift: int,
+                          pc=None) -> bool:
+    """When `pc` (a models.pairing_check.PairingCheck) is supplied, this
+    verifier's pairing equations are ACCUMULATED instead of checked here;
+    the caller runs one pc.verify() over every sub-protocol's equations
+    (e.g. the Groth16 aggregation verifier batches TIPP-AB, MIPP-SSM-C
+    and its own product equation into a single device Miller batch)."""
     from ..utils.trace import scope
 
     ctx = cfg.ctx
@@ -275,26 +312,53 @@ def verify_with_srs_shift(cfg: gipa.GIPAConfig, v_srs: VerifierSRS, ck_t,
                       [_ser_key(s, cfg.lmc.key_kind, ck_a_final),
                        _ser_key(s, cfg.rmc.key_kind, ck_b_final)])
 
-    with scope("Check commitment key"):  # tipa/mod.rs:241
-        ck_a_valid = verify_commitment_key_g2_kzg_opening(
-            ctx, v_srs, ck_a_final, ck_a_proof, transcript_inverse,
+    if os.environ.get("RIPP_BATCH_VERIFY", "1") == "0":
+        # per-equation host pairings (the reference's literal shape)
+        with scope("Check commitment key"):  # tipa/mod.rs:241
+            ck_a_valid = verify_commitment_key_g2_kzg_opening(
+                ctx, v_srs, ck_a_final, ck_a_proof, transcript_inverse,
+                pow(r_shift, -1, host.r), c,
+            )
+            ck_b_valid = verify_commitment_key_g1_kzg_opening(
+                ctx, v_srs, ck_b_final, ck_b_proof, transcript, 1, c,
+            )
+        with scope("Compute base commitment"):  # tipa/mod.rs:253
+            com_a, com_b, com_t = base_com
+            a_base, b_base = proof.gipa_proof.r_base
+            t_base = cfg.ip_single(a_base, b_base)
+        with scope("Check base commitment"):  # tipa/mod.rs:259
+            base_valid = (
+                cfg.lmc.verify_single(ck_a_final, a_base, com_a)
+                and cfg.rmc.verify_single(ck_b_final, b_base, com_b)
+                and cfg.ipc.verify_single(PLACEHOLDER, t_base, com_t)
+            )
+        return ck_a_valid and ck_b_valid and base_valid
+
+    # Batched verification (default): every pairing equation of the
+    # verifier — both KZG key openings and the pairing-shaped base
+    # commitment checks — folds into ONE device Miller product + final
+    # exp under random 128-bit coefficients (models/pairing_check.py).
+    from .pairing_check import PairingCheck, add_base_commitment_checks
+
+    with scope("Check commitment key + base commitment (batched)"):
+        own = pc is None
+        if own:
+            pc = PairingCheck(ctx)
+        add_commitment_key_g2_kzg_check(
+            pc, ctx, v_srs, ck_a_final, ck_a_proof, transcript_inverse,
             pow(r_shift, -1, host.r), c,
         )
-        ck_b_valid = verify_commitment_key_g1_kzg_opening(
-            ctx, v_srs, ck_b_final, ck_b_proof, transcript, 1, c,
+        add_commitment_key_g1_kzg_check(
+            pc, ctx, v_srs, ck_b_final, ck_b_proof, transcript, 1, c,
         )
-
-    with scope("Compute base commitment"):  # tipa/mod.rs:253
-        com_a, com_b, com_t = base_com
         a_base, b_base = proof.gipa_proof.r_base
-        t_base = cfg.ip_single(a_base, b_base)
-    with scope("Check base commitment"):  # tipa/mod.rs:259
-        base_valid = (
-            cfg.lmc.verify_single(ck_a_final, a_base, com_a)
-            and cfg.rmc.verify_single(ck_b_final, b_base, com_b)
-            and cfg.ipc.verify_single(PLACEHOLDER, t_base, com_t)
+        direct = add_base_commitment_checks(
+            pc, cfg, (ck_a_final, ck_b_final, ck_t), base_com,
+            a_base, b_base,
         )
-    return ck_a_valid and ck_b_valid and base_valid
+        if direct is False:
+            return False
+        return pc.verify() if own else True
 
 
 def verify(cfg: gipa.GIPAConfig, v_srs: VerifierSRS, ck_t, com,

@@ -56,6 +56,7 @@ class DevPairing:
         self.product_reduce = jax.jit(self.product_reduce)
         self._finalexp_jit = None
         self._gtexp_jit = None
+        self._gtexp_fused = None
         self._mul1_jit = jax.jit(self.fp12.mul)
         self._fused = None
         self._rns = None
@@ -517,6 +518,17 @@ class DevPairing:
                 bits[i, j] = (e >> (nbits - 1 - j)) & 1
         one_gt = host.tower.fp12.one()
         f = self.ctx.t.fp12_to_dev(list(gs) + [one_gt] * (kp - k))
+
+        if use_fused():
+            # one Pallas launch per exponent bit with VMEM-resident
+            # intermediates (ops/pairing_fused.FusedGtExp); bit-identical
+            # to the XLA scan below, ~25x faster on v5e (BASELINE.md r5)
+            if self._gtexp_fused is None:
+                from .pairing_fused import fused_gtexp
+
+                self._gtexp_fused = fused_gtexp(self.ctx)
+            out = self._gtexp_fused(f, jnp.asarray(bits))
+            return self.ctx.t.fp12_from_dev(out)[:k]
 
         if self._gtexp_jit is None:
             from ..utils.aotcache import aot_jit

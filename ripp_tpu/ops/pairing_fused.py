@@ -424,3 +424,96 @@ def fused_miller(ctx) -> FusedMiller:
     if key not in _FUSED:
         _FUSED[key] = FusedMiller(ctx)
     return _FUSED[key]
+
+
+# ---------------------------------------------------------------------------
+# Fused GT exponentiation (round-5 verifier-latency fix)
+# ---------------------------------------------------------------------------
+
+def _build_gtexp_prog(curve):
+    """One GT square-and-multiply step: acc' = bit ? acc^2 * g : acc^2.
+
+    Traced once into the kprog IR and run by the kexec register machine
+    as ONE Pallas launch per exponent bit. The XLA lax.scan form of the
+    same step measured ~1.5 ms/step at batch 64 on v5e (round-5 verifier
+    profile, BASELINE.md) — XLA:TPU per-op overhead on tiny [batch, nl]
+    limb arrays; in-kernel the intermediates stay in VMEM."""
+    from .kprog import KProg, prog_tower, schedule
+
+    prog = KProg(curve.name + ".gtexp_step")
+    fp, fp2, fp6, fp12, _ = prog_tower(prog, curve)
+
+    def decl12():
+        return tuple(
+            tuple(tuple(prog.inp() for _ in range(2)) for _ in range(3))
+            for _ in range(2)
+        )
+
+    acc = decl12()
+    g = decl12()
+    bit = prog.mask_inp()
+    sq = fp12.sqr(acc)
+    wm = fp12.mul(sq, g)
+    outs = []
+    for i in range(2):
+        for j in range(3):
+            for k in range(2):
+                outs.append(prog.sel(bit, wm[i][j][k], sq[i][j][k]))
+    prog.out(outs)
+    return schedule(prog)
+
+
+class FusedGtExp:
+    """Batched GT exponentiation: lax.scan over the fused step kernel.
+
+    Call with (f_tree, bits): f_tree an fp12 device tree of [kp, nl]
+    leaves, bits a [kp, nbits] uint32 array, MSB first. Returns the
+    fp12 tree of f^e. Drop-in replacement for the XLA scan body of
+    DevPairing.gt_exp_batch (same MSB-first square-and-multiply, so
+    outputs are bit-identical)."""
+
+    def __init__(self, ctx, interpret: bool = False):
+        from .kexec import ProgramKernel
+
+        self.ctx = ctx
+        self.sched = _build_gtexp_prog(ctx.host)
+        self.kern = ProgramKernel(ctx.t.fp.spec, self.sched,
+                                  interpret=interpret)
+        self._jit = None
+
+    def __call__(self, f_tree, bits):
+        if self._jit is None:
+            from ..utils.aotcache import aot_jit
+
+            fp = self.ctx.t.fp
+            kern = self.kern
+
+            def impl(f, b):
+                leaves, treedef = jax.tree.flatten(f)
+                kp = b.shape[0]
+                one = fp.one()
+                o = jnp.broadcast_to(one, (kp,) + one.shape)
+                z = jnp.zeros_like(o)
+                # flattened fp12 one: c000 = 1, every other coeff 0
+                # (leaf order matches jax.tree.flatten of the fp12 tree)
+                ones = (o,) + (z,) * 11
+
+                def body(acc, col):
+                    outs = kern(list(acc) + leaves, masks=[col])
+                    return tuple(outs), None
+
+                acc, _ = jax.lax.scan(
+                    body, ones, jnp.moveaxis(b.astype(jnp.uint32), 0, 1)
+                )
+                return jax.tree.unflatten(treedef, list(acc))
+
+            self._jit = aot_jit(
+                f"gtexpf-{self.ctx.host.name}", impl)
+        return self._jit(f_tree, bits)
+
+
+def fused_gtexp(ctx) -> FusedGtExp:
+    key = ("gtexp", id(ctx))
+    if key not in _FUSED:
+        _FUSED[key] = FusedGtExp(ctx)
+    return _FUSED[key]

@@ -44,3 +44,48 @@ def test_program_kernel_interpret_matches_xla():
     got = ProgramKernel(t.fp.spec, sched, interpret=True)(arrs, masks=[mask])
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_fused_gtexp_interpret_matches_host():
+    """FusedGtExp (interpret mode) == host fp12 pow on bls12_nano.
+
+    Covers the round-5 verifier-latency kernel (ops/pairing_fused
+    _build_gtexp_prog + FusedGtExp): per-element exponent bits drive the
+    in-kernel select; MSB-first square-and-multiply must match the host
+    tower's pow exactly (same canonical Montgomery limb encoding)."""
+    from ripp_tpu.ops.pairing_fused import FusedGtExp
+    from ripp_tpu.ops.points import dev_ctx
+
+    import jax.numpy as jnp
+
+    ctx = dev_ctx("bls12_nano")
+    host = ctx.host
+    F12 = host.tower.fp12
+    rng = random.Random(11)
+
+    # random GT-shaped elements (any fp12 works for the exp circuit)
+    def rand_fp12():
+        return tuple(
+            tuple(
+                tuple(rng.randrange(host.p) for _ in range(2))
+                for _ in range(3)
+            )
+            for _ in range(2)
+        )
+
+    k = 5
+    gs = [rand_fp12() for _ in range(k)]
+    nbits = host.r.bit_length()
+    es = [rng.randrange(1 << nbits) for _ in range(k)]
+
+    bits = np.zeros((k, nbits), dtype=np.uint32)
+    for i, e in enumerate(es):
+        for j in range(nbits):
+            bits[i, j] = (e >> (nbits - 1 - j)) & 1
+
+    f = ctx.t.fp12_to_dev(gs)
+    gt = FusedGtExp(ctx, interpret=True)
+    out = gt(f, jnp.asarray(bits))
+    got = ctx.t.fp12_from_dev(out)
+    want = [F12.pow(g, e) for g, e in zip(gs, es)]
+    assert got == want

@@ -104,6 +104,17 @@ def test_tipa_tipp(ctx):
     )
     proof = tipa.prove(cfg, srs, (m_a, m_b), (ck_a, ck_b, ck_t))
     assert tipa.verify(cfg, v_srs, ck_t, com, proof)
+    # tampered proofs must be rejected through the batched pairing check
+    # (models/pairing_check.py): a doubled base message breaks the base
+    # commitment equation; a doubled final ck breaks the KZG opening.
+    bad = copy.deepcopy(proof)
+    a0, b0 = bad.gipa_proof.r_base
+    bad.gipa_proof.r_base = (ctx.host.g1.double(a0), b0)
+    assert not tipa.verify(cfg, v_srs, ck_t, com, bad)
+    bad2 = copy.deepcopy(proof)
+    cka_f, ckb_f = bad2.final_ck
+    bad2.final_ck = (ctx.host.g2.double(cka_f), ckb_f)
+    assert not tipa.verify(cfg, v_srs, ck_t, com, bad2)
 
 
 def test_tipa_mipp(ctx):
