@@ -433,11 +433,9 @@ def fused_miller(ctx) -> FusedMiller:
 def _build_gtexp_prog(curve):
     """One GT square-and-multiply step: acc' = bit ? acc^2 * g : acc^2.
 
-    Traced once into the kprog IR and run by the kexec register machine
-    as ONE Pallas launch per exponent bit. The XLA lax.scan form of the
-    same step measured ~1.5 ms/step at batch 64 on v5e (round-5 verifier
-    profile, BASELINE.md) — XLA:TPU per-op overhead on tiny [batch, nl]
-    limb arrays; in-kernel the intermediates stay in VMEM."""
+    Traced once into the kprog IR. Input layout is pinned (acc 12, g 12
+    in registers 0..23) so the looped kernel can keep both resident in
+    the VMEM register file across all exponent bits."""
     from .kprog import KProg, prog_tower, schedule
 
     prog = KProg(curve.name + ".gtexp_step")
@@ -460,56 +458,154 @@ def _build_gtexp_prog(curve):
             for k in range(2):
                 outs.append(prog.sel(bit, wm[i][j][k], sq[i][j][k]))
     prog.out(outs)
-    return schedule(prog)
+    return schedule(prog, pin_inputs=True)
 
 
 class FusedGtExp:
-    """Batched GT exponentiation: lax.scan over the fused step kernel.
+    """One-launch batched GT exponentiation.
+
+    The whole MSB-first square-and-multiply ladder runs INSIDE one
+    Pallas kernel (fori_loop over exponent bits, acc/g resident in the
+    VMEM register file) — the FusedMiller execution model with
+    PER-ELEMENT bit masks as a VMEM input. The first fused attempt ran
+    one Pallas launch per bit via lax.scan and measured ~1.8 ms/launch
+    dispatch overhead on the remote axon path (255 bits -> 460 ms);
+    in-kernel the per-bit cost is the ~106-mul step program itself.
 
     Call with (f_tree, bits): f_tree an fp12 device tree of [kp, nl]
     leaves, bits a [kp, nbits] uint32 array, MSB first. Returns the
-    fp12 tree of f^e. Drop-in replacement for the XLA scan body of
-    DevPairing.gt_exp_batch (same MSB-first square-and-multiply, so
-    outputs are bit-identical)."""
+    fp12 tree of f^e, bit-identical to DevPairing.gt_exp_batch's XLA
+    scan (differential test tests/test_kexec.py)."""
 
     def __init__(self, ctx, interpret: bool = False):
-        from .kexec import ProgramKernel
-
         self.ctx = ctx
+        self.interpret = interpret
+        self.spec = ctx.t.spec_fp
         self.sched = _build_gtexp_prog(ctx.host)
-        self.kern = ProgramKernel(ctx.t.fp.spec, self.sched,
-                                  interpret=interpret)
-        self._jit = None
+        assert self.sched.inputs == list(range(24))
+        self._jit_cache = {}
+
+    @functools.cached_property
+    def _call(self):
+        from .kexec import (
+            TILE, exec_segments, mul_table, read_reg, write_reg,
+        )
+        from .fp import int_to_limbs
+
+        spec = self.spec
+        nl = spec.nl
+        sched = self.sched
+        tab = mul_table(sched)
+        one_row = int_to_limbs(spec.r % spec.p, nl)
+        mask_regs = sched.mask_inputs
+        n_regs = sched.n_regs
+
+        def make(nb, nbits):
+            def kernel(tab_ref, in_ref, bits_ref, out_ref, reg_ref):
+                zero = jnp.zeros((8, 128), jnp.uint32)
+                onel = [jnp.full((8, 128), np.uint32(one_row[i]),
+                                 jnp.uint32) for i in range(nl)]
+                zl = [zero] * nl
+                # acc = fp12 one (regs 0..11); g from inputs (regs 12..23)
+                write_reg(reg_ref, 0, onel)
+                for r in range(1, 12):
+                    write_reg(reg_ref, r, zl)
+                for k in range(12):
+                    write_reg(reg_ref, 12 + k,
+                              [in_ref[k, i, 0] for i in range(nl)])
+
+                def step(i, _):
+                    m = bits_ref[i, 0]
+                    for mr in mask_regs:
+                        write_reg(reg_ref, mr, [m] * nl)
+                    exec_segments(spec, sched, reg_ref, tab_ref, 0)
+                    for k, r in enumerate(sched.outputs):
+                        write_reg(reg_ref, k, read_reg(reg_ref, r))
+                    return 0
+
+                jax.lax.fori_loop(0, nbits, step, 0)
+                for k in range(12):
+                    v = read_reg(reg_ref, k)
+                    for i in range(nl):
+                        out_ref[k, i, 0] = v[i]
+
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            in_spec = pl.BlockSpec(
+                (12, nl, 1, 8, 128), lambda j: (0, 0, j, 0, 0),
+                memory_space=pltpu.VMEM)
+            bits_spec = pl.BlockSpec(
+                (nbits, 1, 8, 128), lambda j: (0, j, 0, 0),
+                memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec(
+                (12, nl, 1, 8, 128), lambda j: (0, 0, j, 0, 0),
+                memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          in_spec, bits_spec],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (12, nl, nb, 8, 128), jnp.uint32),
+                scratch_shapes=[
+                    pltpu.VMEM((n_regs, nl, 8, 128), jnp.uint32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=self.interpret,
+            )
+
+        return make, jnp.asarray(tab)
 
     def __call__(self, f_tree, bits):
-        if self._jit is None:
+        from .kexec import TILE
+
+        leaves, treedef = jax.tree.flatten(f_tree)
+        kp, nbits = bits.shape
+        key = (kp, nbits)
+        fn = self._jit_cache.get(key)
+        if fn is None:
             from ..utils.aotcache import aot_jit
 
-            fp = self.ctx.t.fp
-            kern = self.kern
+            make, tab = self._call
+            spec = self.spec
+            nl = spec.nl
 
-            def impl(f, b):
-                leaves, treedef = jax.tree.flatten(f)
-                kp = b.shape[0]
-                one = fp.one()
-                o = jnp.broadcast_to(one, (kp,) + one.shape)
-                z = jnp.zeros_like(o)
-                # flattened fp12 one: c000 = 1, every other coeff 0
-                # (leaf order matches jax.tree.flatten of the fp12 tree)
-                ones = (o,) + (z,) * 11
+            def impl(leaves_in, b):
+                B = leaves_in[0].shape[0]
+                nb = -(-B // TILE)
+                pad = nb * TILE - B
 
-                def body(acc, col):
-                    outs = kern(list(acc) + leaves, masks=[col])
-                    return tuple(outs), None
+                def tile(x):
+                    x = x.reshape(B, nl)
+                    if pad:
+                        x = jnp.concatenate(
+                            [x, jnp.zeros((pad, nl), jnp.uint32)], axis=0)
+                    return x.T.reshape(nl, nb, 8, 128)
 
-                acc, _ = jax.lax.scan(
-                    body, ones, jnp.moveaxis(b.astype(jnp.uint32), 0, 1)
-                )
-                return jax.tree.unflatten(treedef, list(acc))
+                in_arr = jnp.stack([tile(x.astype(jnp.uint32))
+                                    for x in leaves_in])
+                bt = jnp.moveaxis(b.astype(jnp.uint32), 0, 1)  # [nbits, B]
+                if pad:
+                    bt = jnp.concatenate(
+                        [bt, jnp.zeros((bt.shape[0], pad), jnp.uint32)],
+                        axis=1)
+                bits_arr = bt.reshape(bt.shape[0], nb, 8, 128)
+                out = make(nb, b.shape[1])(tab, in_arr, bits_arr)
+                outs = []
+                for k in range(12):
+                    o = out[k].reshape(nl, nb * TILE).T
+                    if pad:
+                        o = o[:B]
+                    outs.append(o)
+                return outs
 
-            self._jit = aot_jit(
-                f"gtexpf-{self.ctx.host.name}", impl)
-        return self._jit(f_tree, bits)
+            fn = aot_jit(
+                f"gtexpl-{self.ctx.host.name}-{nbits}", impl)
+            self._jit_cache[key] = fn
+        acc = fn(leaves, bits)
+        return jax.tree.unflatten(treedef, list(acc))
 
 
 def fused_gtexp(ctx) -> FusedGtExp:
